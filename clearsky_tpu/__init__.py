@@ -1,0 +1,94 @@
+"""clearsky_tpu — a TPU-native line-by-line clear-sky radiative transfer framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the full capability surface of the
+reference clear-sky framework (ClearSky.jl): HITRAN line-catalog and CIA
+ingestion, TIPS-scaled Voigt/Lorentz/Doppler/sub-Lorentzian opacities, baked
+Chebyshev opacity tables or direct line-by-line evaluation, a discretized
+Schwarzschild flux core with hemispheric stream quadrature, adiabats and
+hydrostatics, a radiative-convective model, orbital mechanics and insolation —
+all built array-first for the MXU/VPU, with wavenumber-mesh sharding for
+multi-chip scale (see ``clearsky_tpu.parallel``).
+"""
+
+from . import constants
+from .constants import (
+    C_LIGHT,
+    H_PLANCK,
+    K_BOLTZ,
+    SIGMA_SB,
+    R_GAS,
+    P_ATM,
+    N_AVOGADRO,
+    DALTON,
+    G_GRAV,
+    LOSCHMIDT_SQ,
+    T_REF_HITRAN,
+    T_ICE,
+    P_MIN,
+)
+from .utils.grids import (
+    chebygrid,
+    pressuregrid,
+    logrange,
+    meshgrid,
+    trapz,
+    deriv,
+)
+from .utils.rootfind import regula_falsi, secant
+from .ops.planck import (
+    nu2f,
+    f2nu,
+    nu2lam,
+    lam2nu,
+    lam2f,
+    f2lam,
+    planck,
+    normplanck,
+    dplanck,
+    stefanboltzmann,
+    equilibrium_temperature,
+    dtau_dP,
+)
+from .ops.faddeeva import wofz_re
+from .ops.lineshape import (
+    scale_intensity,
+    alpha_doppler,
+    gamma_lorentz,
+    fdoppler,
+    florentz,
+    fvoigt,
+    chi_phco2,
+)
+from .ops.linesum import build_line_window_plan, sigma_from_lines
+from .spectra.par import read_par
+from .spectra.lines import SpectralLines
+from .spectra.molparam import molparam
+from .absorption.domain import AtmosphericDomain
+from .absorption.gas import (
+    Gas,
+    DirectGas,
+    GrayGas,
+    SemiGrayGas,
+    opacity_error,
+)
+from .absorption.cia import read_cia, CIATables, CIA, cia_xsec
+from .absorption.absorbers import (
+    AbsorberStack,
+    AcceleratedAbsorber,
+    unify_absorbers,
+)
+from .atmosphere.profile import AtmosphericProfile
+from .rt.discretized import FluxPack
+from .rt.fluxes import (
+    Discretized,
+    RadauEq,
+    optical_depth,
+    transmittance,
+    outgoing,
+    monochromatic_fluxes,
+    fluxes,
+    net_fluxes,
+    radiate,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,376 @@
+"""Gas objects: baked opacity tables and direct line-by-line evaluation.
+
+TPU-native re-design of the reference's gas layer (ClearSky.jl
+``gases.jl:63-386``). The reference stores one Chebyshev interpolator per
+wavenumber and pulls scalar cross-sections through closures; here the whole
+table is a single coefficient tensor and evaluation at a batch of (T, P)
+points is one dense matmul (MXU work):
+
+    ln_sigma[l, v] = (basis_T[l] (x) basis_lnP[l]) @ coeffs[:, v]
+
+Two operating modes, both matching reference capability:
+
+* :class:`Gas` — *table mode*: cross-sections baked once on the
+  AtmosphericDomain grid (ref ``bake``, gases.jl:97-145) with the block-banded
+  line-sum kernel, then evaluated by Chebyshev tensor contraction
+  (the ``OpacityTable`` equivalent, ref gases.jl:66-85).
+* :class:`DirectGas` — *direct mode*: cross-sections recomputed from lines at
+  every evaluation. The reference cannot afford this on CPU; a TPU can, and it
+  removes all interpolation error.
+
+Plus the analytic absorbers :class:`GrayGas` and :class:`SemiGrayGas`
+(ref gases.jl:340-386) used by the analytic test suite.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.interp import cheb2d_coeffs, cheb_basis
+from ..ops.linesum import (
+    LineWindowPlan,
+    build_line_window_plan,
+    sigma_from_lines,
+    DEFAULT_CUT,
+)
+from ..spectra.lines import SpectralLines
+from .domain import AtmosphericDomain
+
+__all__ = [
+    "AbstractGas",
+    "Gas",
+    "DirectGas",
+    "GrayGas",
+    "SemiGrayGas",
+    "bake_sigma_grid",
+    "opacity_error",
+    "as_concentration",
+]
+
+_LOG_TINY = float(np.log(np.finfo(np.float64).tiny))  # ref gases.jl:76-79
+
+
+def as_concentration(fC) -> Callable:
+    """Normalize a concentration spec (scalar or fC(T, P)) to a callable."""
+    if callable(fC):
+        return fC
+    c = float(fC)
+    if not (0.0 <= c <= 1.0):
+        raise ValueError(f"gas molar concentration must be in [0,1], not {c}")
+    return lambda T, P: jnp.full(jnp.shape(jnp.asarray(T) * jnp.asarray(P)), c)
+
+
+class AbstractGas:
+    """Interface: ``raw_sigma(T, P) -> [..., n_nu]`` and concentration scaling."""
+
+    def raw_sigma(self, T, P):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def concentration(self, T, P):
+        """Molar concentration [mole/mole]. Ref gases.jl:270."""
+        return self.fC(T, P)
+
+    def __call__(self, T, P):
+        """Concentration-scaled cross-sections [..., n_nu]. Ref gases.jl:278-281."""
+        C = jnp.asarray(self.concentration(T, P))
+        return C[..., None] * self.raw_sigma(T, P)
+
+
+def bake_sigma_grid(
+    lines: SpectralLines,
+    fC,
+    nu: np.ndarray,
+    domain: AtmosphericDomain,
+    shape: str = "voigt",
+    cut: float | None = None,
+    block: int = 256,
+    tp_batch: int = 16,
+) -> np.ndarray:
+    """Fill the sigma[nT, nP, n_nu] cross-section grid (the reference's ``bake``).
+
+    Ref gases.jl:97-145. Evaluates the line-sum kernel at every (T, P) node of
+    the domain — jit-compiled and batched over ``tp_batch`` nodes at a time —
+    and applies the reference's mixed-zero underflow cleanup
+    (ref gases.jl:132-142): wavenumbers where zero and nonzero values mix
+    across the grid are zeroed everywhere.
+    """
+    cut = DEFAULT_CUT[shape] if cut is None else float(cut)
+    fC = as_concentration(fC)
+    nu = np.asarray(nu, dtype=np.float64)
+    if np.any(np.diff(nu) <= 0) or np.any(nu < 0):
+        raise ValueError("wavenumbers must be positive, unique, ascending")
+    plan = build_line_window_plan(nu, np.asarray(lines.nu), cut, block=block)
+    TT, PP = np.meshgrid(domain.T, domain.P, indexing="ij")
+    Tf, Pf = TT.ravel(), PP.ravel()
+    Cf = np.asarray(jax.vmap(fC)(jnp.asarray(Tf), jnp.asarray(Pf)))
+    if np.any((Cf < 0) | (Cf > 1)):
+        bad = int(np.argmax((Cf < 0) | (Cf > 1)))
+        raise ValueError(
+            f"gas molar concentrations must be in [0,1], not {Cf[bad]} "
+            f"(encountered @ {Tf[bad]} K, {Pf[bad]} Pa)"
+        )
+    out = np.empty((len(Tf), len(nu)))
+    for a in range(0, len(Tf), tp_batch):
+        b = min(a + tp_batch, len(Tf))
+        out[a:b] = np.asarray(
+            sigma_from_lines(
+                plan,
+                lines,
+                jnp.asarray(Tf[a:b]),
+                jnp.asarray(Pf[a:b]),
+                jnp.asarray(Cf[a:b] * Pf[a:b]),
+                shape,
+            )
+        )
+    sigma = out.reshape(domain.nT, domain.nP, len(nu))
+    # mixed-zero underflow cleanup (ref gases.jl:132-142)
+    smin = sigma.min(axis=(0, 1))
+    smax = sigma.max(axis=(0, 1))
+    mixed = (smin == 0.0) & (smax > 0.0)
+    if mixed.any():
+        sigma[:, :, mixed] = 0.0
+    return sigma
+
+
+def _ln_sigma_coeffs(sigma: np.ndarray, domain: AtmosphericDomain) -> np.ndarray:
+    """Chebyshev coefficients of ln(sigma) over (T, lnP), flattened to [nT*nP, n_nu].
+
+    All-zero wavenumbers are stored as the constant log(floatmin), matching the
+    reference's OpacityTable (ref gases.jl:75-82).
+    """
+    ln = np.where(sigma > 0.0, np.log(np.maximum(sigma, np.finfo(np.float64).tiny)), _LOG_TINY)
+    allzero = (sigma <= np.finfo(np.float64).tiny).all(axis=(0, 1))
+    ln[:, :, allzero] = _LOG_TINY
+    coeffs = np.asarray(cheb2d_coeffs(jnp.asarray(np.moveaxis(ln, -1, 0))))  # [n_nu, nT, nP]
+    nT, nP = sigma.shape[0], sigma.shape[1]
+    return np.moveaxis(coeffs.reshape(-1, nT * nP), 0, -1)  # [nT*nP, n_nu]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, eq=False)
+class Gas(AbstractGas):
+    """Baked-table gas absorber. Ref gases.jl:180-336.
+
+    ``coeffs`` holds Chebyshev coefficients of ln(sigma) over (T, lnP) for all
+    wavenumbers; evaluation is a dense [L, nT*nP] x [nT*nP, n_nu] contraction.
+    """
+
+    nu: jax.Array                 # [n_nu]
+    coeffs: jax.Array             # [nT*nP, n_nu]
+    name: str = dataclasses.field(metadata=dict(static=True), default="")
+    formula: str = dataclasses.field(metadata=dict(static=True), default="")
+    mu: float = dataclasses.field(metadata=dict(static=True), default=float("nan"))
+    domain: AtmosphericDomain = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
+    fC: Callable = dataclasses.field(metadata=dict(static=True), default=None)
+
+    @classmethod
+    def from_lines(
+        cls,
+        lines: SpectralLines,
+        fC,
+        nu,
+        domain: AtmosphericDomain,
+        shape: str = "voigt",
+        cut: float | None = None,
+        dtype=None,
+        **bake_kwargs,
+    ) -> "Gas":
+        """Bake a gas from spectral lines. Ref gases.jl:225-238."""
+        sigma = bake_sigma_grid(lines, fC, nu, domain, shape=shape, cut=cut, **bake_kwargs)
+        coeffs = _ln_sigma_coeffs(sigma, domain)
+        dtype = dtype or jnp.asarray(1.0).dtype
+        return cls(
+            nu=jnp.asarray(np.asarray(nu), dtype=dtype),
+            coeffs=jnp.asarray(coeffs, dtype=dtype),
+            name=lines.name,
+            formula=lines.formula,
+            mu=lines.mean_molar_mass,
+            domain=domain,
+            fC=as_concentration(fC),
+        )
+
+    @classmethod
+    def from_par(cls, filename: str, fC, nu, domain, shape="voigt", cut=None, **kwargs):
+        """Read a .par file and bake directly. Ref gases.jl:240-249."""
+        bake_keys = {"block", "tp_batch", "dtype"}
+        bk = {k: kwargs.pop(k) for k in list(kwargs) if k in bake_keys}
+        lines = SpectralLines.from_par(filename, **kwargs)
+        return cls.from_lines(lines, fC, nu, domain, shape=shape, cut=cut, **bk)
+
+    def raw_sigma(self, T, P):
+        """Cross-sections [..., n_nu] without concentration scaling. Ref gases.jl:256-263."""
+        T = jnp.asarray(T)
+        P = jnp.asarray(P)
+        shp = jnp.broadcast_shapes(T.shape, P.shape)
+        Tq = jnp.broadcast_to(T, shp).reshape(-1)
+        Pq = jnp.broadcast_to(P, shp).reshape(-1)
+        d = self.domain
+        BT = cheb_basis(Tq, d.Tmin, d.Tmax, d.nT)                       # [L, nT]
+        BP = cheb_basis(jnp.log(Pq), np.log(d.Pmin), np.log(d.Pmax), d.nP)  # [L, nP]
+        basis = (BT[:, :, None] * BP[:, None, :]).reshape(Tq.shape[0], -1)
+        ln = basis @ self.coeffs                                        # [L, n_nu] (MXU)
+        return jnp.exp(ln).reshape(shp + (self.coeffs.shape[-1],))
+
+    def reconcentrate(self, fC) -> "Gas":
+        """New Gas with a different concentration function/value.
+
+        Like the reference (ref gases.jl:292-320), self-broadening baked into
+        the table is NOT recomputed — acceptable when partial pressure is low.
+        """
+        fC = as_concentration(fC)
+        # validate on the domain grid (ref gases.jl:294-301)
+        TT, PP = np.meshgrid(self.domain.T, self.domain.P, indexing="ij")
+        C = np.asarray(jax.vmap(fC)(jnp.asarray(TT.ravel()), jnp.asarray(PP.ravel())))
+        if np.any((C < 0) | (C > 1)):
+            raise ValueError("gas molar concentrations must be in [0,1]")
+        return dataclasses.replace(self, fC=fC)
+
+    def __repr__(self):  # pragma: no cover - cosmetic
+        return f"Gas({self.name} [{self.formula}], n_nu={self.nu.shape[0]}, mu={self.mu:.6g})"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, eq=False)
+class DirectGas(AbstractGas):
+    """Direct line-by-line gas: cross-sections recomputed from lines per call.
+
+    No reference equivalent (the reference must bake, ref gases.jl:97); this is
+    the TPU-first mode — zero interpolation error, with the line-sum kernel as
+    the hot loop.
+    """
+
+    lines: SpectralLines
+    nu: jax.Array
+    plan: LineWindowPlan = dataclasses.field(metadata=dict(static=True), default=None)
+    shape: str = dataclasses.field(metadata=dict(static=True), default="voigt")
+    fC: Callable = dataclasses.field(metadata=dict(static=True), default=None)
+    name: str = dataclasses.field(metadata=dict(static=True), default="")
+    formula: str = dataclasses.field(metadata=dict(static=True), default="")
+    mu: float = dataclasses.field(metadata=dict(static=True), default=float("nan"))
+
+    @classmethod
+    def from_lines(
+        cls, lines, fC, nu, shape: str = "voigt", cut: float | None = None, block: int = 256
+    ) -> "DirectGas":
+        cut = DEFAULT_CUT[shape] if cut is None else float(cut)
+        nu = np.asarray(nu, dtype=np.float64)
+        plan = build_line_window_plan(nu, np.asarray(lines.nu), cut, block=block)
+        return cls(
+            lines=lines,
+            nu=jnp.asarray(nu),
+            plan=plan,
+            shape=shape,
+            fC=as_concentration(fC),
+            name=lines.name,
+            formula=lines.formula,
+            mu=lines.mean_molar_mass,
+        )
+
+    def raw_sigma(self, T, P):
+        T = jnp.asarray(T)
+        P = jnp.asarray(P)
+        C = jnp.asarray(self.fC(T, P))
+        return sigma_from_lines(self.plan, self.lines, T, P, C * P, self.shape)
+
+    def reconcentrate(self, fC) -> "DirectGas":
+        """New DirectGas with different concentration — self-broadening IS
+        recomputed here (unlike table mode), since evaluation is direct."""
+        return dataclasses.replace(self, fC=as_concentration(fC))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, eq=False)
+class GrayGas(AbstractGas):
+    """Constant cross-section absorber. Ref gases.jl:340-360."""
+
+    nu: jax.Array
+    sigma: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    name: str = dataclasses.field(metadata=dict(static=True), default="Gray")
+    formula: str = dataclasses.field(metadata=dict(static=True), default="Gray")
+    mu: float = dataclasses.field(metadata=dict(static=True), default=float("nan"))
+
+    @classmethod
+    def create(cls, sigma: float, nu) -> "GrayGas":
+        return cls(nu=jnp.asarray(np.asarray(nu, dtype=np.float64)), sigma=float(sigma))
+
+    def raw_sigma(self, T, P):
+        shp = jnp.broadcast_shapes(jnp.shape(T), jnp.shape(P))
+        return jnp.full(shp + (self.nu.shape[0],), self.sigma, dtype=self.nu.dtype)
+
+    def concentration(self, T, P):
+        return jnp.ones(jnp.broadcast_shapes(jnp.shape(T), jnp.shape(P)))
+
+    @property
+    def fC(self):
+        return lambda T, P: jnp.ones(jnp.broadcast_shapes(jnp.shape(T), jnp.shape(P)))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, eq=False)
+class SemiGrayGas(AbstractGas):
+    """Gray absorber active only for nu <= nucut. Ref gases.jl:364-386."""
+
+    nu: jax.Array
+    sigma: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    nucut: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    name: str = dataclasses.field(metadata=dict(static=True), default="SemiGray")
+    formula: str = dataclasses.field(metadata=dict(static=True), default="SemiGray")
+    mu: float = dataclasses.field(metadata=dict(static=True), default=float("nan"))
+
+    @classmethod
+    def create(cls, sigma: float, nu, nucut: float) -> "SemiGrayGas":
+        return cls(
+            nu=jnp.asarray(np.asarray(nu, dtype=np.float64)),
+            sigma=float(sigma),
+            nucut=float(nucut),
+        )
+
+    def raw_sigma(self, T, P):
+        shp = jnp.broadcast_shapes(jnp.shape(T), jnp.shape(P))
+        row = jnp.where(self.nu <= self.nucut, self.sigma, 0.0)
+        return jnp.broadcast_to(row, shp + (self.nu.shape[0],))
+
+    def concentration(self, T, P):
+        return jnp.ones(jnp.broadcast_shapes(jnp.shape(T), jnp.shape(P)))
+
+    @property
+    def fC(self):
+        return lambda T, P: jnp.ones(jnp.broadcast_shapes(jnp.shape(T), jnp.shape(P)))
+
+
+def opacity_error(
+    gas: Gas,
+    lines: SpectralLines,
+    nu_index: int,
+    shape: str = "voigt",
+    cut: float | None = None,
+    N: int = 50,
+):
+    """Interpolation-accuracy harness: table vs exact line-sum on a dense T x P grid.
+
+    Ref gases.jl:152-175. Returns (T, P, abs_err, rel_err) with err of shape [N, N].
+    """
+    d = gas.domain
+    T = np.linspace(d.Tmin, d.Tmax, N)
+    P = 10 ** np.linspace(np.log10(d.Pmin), np.log10(d.Pmax), N)
+    TT, PP = np.meshgrid(T, P, indexing="ij")
+    Tf = jnp.asarray(TT.ravel())
+    Pf = jnp.asarray(PP.ravel())
+    approx = np.asarray(gas.raw_sigma(Tf, Pf)[:, nu_index]).reshape(N, N)
+    cutv = DEFAULT_CUT[shape] if cut is None else float(cut)
+    nu_val = float(np.asarray(gas.nu)[nu_index])
+    plan = build_line_window_plan(np.array([nu_val]), np.asarray(lines.nu), cutv, block=8)
+    C = jnp.asarray(jax.vmap(gas.fC)(Tf, Pf))
+    exact = np.asarray(
+        sigma_from_lines(plan, lines, Tf, Pf, C * Pf, shape)
+    ).reshape(N, N)
+    aerr = approx - exact
+    rerr = aerr / np.where(exact == 0, np.nan, exact)
+    return T, P, aerr, rerr

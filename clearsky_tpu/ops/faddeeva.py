@@ -1,0 +1,119 @@
+"""Branch-free Faddeeva function for Voigt profiles.
+
+The reference evaluates Voigt profiles through ``Faddeyeva985.faddeyeva(x, y)``
+(Zaghloul's ACM TOMS Algorithm 985 class, ~1e-4..1e-5 relative accuracy; call
+site ClearSky.jl ``line_shapes.jl:375``). Scalar region-based branching is
+hostile to TPUs, so this module implements Humlicek's w4 rational-region
+algorithm with *all four regions evaluated branch-free* and combined with
+``jnp.where`` — pure VPU arithmetic, no complex dtype, no data-dependent
+control flow. The same real-pair arithmetic is reused verbatim inside the
+Pallas line-sum kernel.
+
+Accuracy: ~1e-4 relative over the upper half plane in float64 (validated
+against scipy.special.wofz in tests), i.e. the same accuracy class as the
+reference's Algorithm-985 dependency.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["wofz_re", "wofz_re_im"]
+
+_SQRT_PI = 1.7724538509055159
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cdiv(ar, ai, br, bi):
+    d = br * br + bi * bi
+    return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+
+
+def _cpoly(coeffs, tr, ti):
+    """Horner evaluation of a real-coefficient polynomial at complex t."""
+    pr = jnp.zeros_like(tr) + coeffs[0]
+    pi = jnp.zeros_like(tr)
+    for c in coeffs[1:]:
+        pr, pi = _cmul(pr, pi, tr, ti)
+        pr = pr + c
+    return pr, pi
+
+
+def wofz_re_im(x, y):
+    """Real and imaginary parts of w(z) = exp(-z^2) erfc(-iz) for z = x + iy, y >= 0.
+
+    Humlicek (1982) w4 algorithm, evaluated branch-free over all regions.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    x, y = jnp.broadcast_arrays(x, y)
+    ax = jnp.abs(x)
+    s = ax + y
+    # t = y - i x
+    tr, ti = y, -x
+
+    # region 1: s >= 15 —— w = t * c / (0.5 + t^2)
+    t2r, t2i = _cmul(tr, ti, tr, ti)
+    num_r, num_i = 0.5641896 * tr, 0.5641896 * ti
+    w1r, w1i = _cdiv(num_r, num_i, 0.5 + t2r, t2i)
+
+    # region 2: 5.5 <= s < 15 —— w = t(1.410474 + 0.5641896 u)/(0.75 + u(3 + u)), u = t^2
+    ur, ui = t2r, t2i
+    n2r = 1.410474 + 0.5641896 * ur
+    n2i = 0.5641896 * ui
+    n2r, n2i = _cmul(tr, ti, n2r, n2i)
+    d2r, d2i = _cmul(ur, ui, 3.0 + ur, ui)
+    w2r, w2i = _cdiv(n2r, n2i, 0.75 + d2r, d2i)
+
+    # region 3: s < 5.5 and y >= 0.195|x| - 0.176 —— Hui-style [4/5] rational in t
+    n3r, n3i = _cpoly(
+        [0.5642236, 3.778987, 11.96482, 20.20933, 16.4955], tr, ti
+    )
+    d3r, d3i = _cpoly(
+        [1.0, 6.699398, 21.69274, 39.27121, 38.82363, 16.4955], tr, ti
+    )
+    w3r, w3i = _cdiv(n3r, n3i, d3r, d3i)
+
+    # region 4: s < 5.5 and y < 0.195|x| - 0.176 —— w = exp(u) - t*P(u)/Q(u)
+    # In the active region u_r = y^2 - x^2 <= 0; clamp to avoid inf leaking
+    # from inactive-region evaluation (where it is discarded anyway).
+    # In the active region y < 0.195|x| - 0.176 implies u_r = y^2 - x^2 < 0,
+    # so the clamp never alters active values. P and Q are Humlicek's
+    # alternating-sign Horner chains, rewritten as plain polynomials in -u.
+    u4r = jnp.minimum(ur, 0.0)
+    u4i = ui
+    p4r, p4i = _cpoly(
+        [0.56419, 1.320522, 35.76683, 219.0313, 1540.787, 3321.9905, 36183.31],
+        -u4r, -u4i,
+    )
+    q4r, q4i = _cpoly(
+        [1.0, 1.841439, 61.57037, 364.2191, 2186.181, 9022.228, 24322.84, 32066.6],
+        -u4r, -u4i,
+    )
+    frac_r, frac_i = _cdiv(p4r, p4i, q4r, q4i)
+    tf_r, tf_i = _cmul(tr, ti, frac_r, frac_i)
+    eu = jnp.exp(u4r)
+    ex_r = eu * jnp.cos(u4i)
+    ex_i = eu * jnp.sin(u4i)
+    w4r = ex_r - tf_r
+    w4i = ex_i - tf_i
+
+    in_r1 = s >= 15.0
+    in_r2 = (s < 15.0) & (s >= 5.5)
+    in_r3 = (s < 5.5) & (y >= 0.195 * ax - 0.176)
+    wr = jnp.where(in_r1, w1r, jnp.where(in_r2, w2r, jnp.where(in_r3, w3r, w4r)))
+    wi = jnp.where(in_r1, w1i, jnp.where(in_r2, w2i, jnp.where(in_r3, w3i, w4i)))
+    return wr, wi
+
+
+def wofz_re(x, y):
+    """Real part of the Faddeeva function w(x + iy), y >= 0.
+
+    Drop-in equivalent of the reference's ``faddeyeva(x, y)`` call
+    (ref line_shapes.jl:375), vectorized and branch-free.
+    """
+    wr, _ = wofz_re_im(x, y)
+    return wr

@@ -1,0 +1,216 @@
+"""The discretized radiative-transfer core: layered optical depth and flux marches.
+
+TPU-native re-design of the reference's primary flux engine (ClearSky.jl
+``src/core/discretized.jl``): per-layer optical depth by Gauss-Lobatto
+quadrature, the Clough/Iacono/Moncet "linear-in-tau" layer emission, and
+up/down flux marches with hemispheric stream quadrature plus a direct stellar
+beam and Lambertian surface.
+
+Where the reference threads a scalar ODE per wavenumber, here every march is a
+``lax.scan`` over pressure layers carrying the *entire spectrum and all
+streams at once* — [nstream, n_nu] per step, pure fused VPU arithmetic. All
+wavenumber-parallelism is left to XLA/sharding (see ``clearsky_tpu.parallel``).
+
+The reference's adaptive Radau engine (``src/core/radau.jl``) is replaced by a
+grid-refinement mode (see ``rt.fluxes.RadauEq``): adaptivity is hostile to the
+XLA compilation model, and the linear-in-tau march is already the exact
+exponential-integrator solution of the Schwarzschild equation on each layer;
+refining the pressure grid recovers the same accuracy (validated against the
+analytic gray-atmosphere solution in the test suite).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import N_AVOGADRO
+from ..ops.planck import planck
+from ..utils.quadrature import stream_nodes, lobatto_unit_nodes
+from ..utils.grids import trapz
+
+__all__ = [
+    "FluxPack",
+    "TAU_MIN",
+    "layer_planck",
+    "lobatto_pressures",
+    "layer_tau",
+    "path_tau",
+    "monoflux",
+    "outgoing_flux",
+    "integrate_flux",
+]
+
+# optical-depth floor protecting the linear-in-tau emission from 0/0
+# (ref discretized.jl:147, 174)
+TAU_MIN = 1e-6
+
+
+class FluxPack(NamedTuple):
+    """Whole-atmosphere radiation bundle. Ref shared.jl:71-121.
+
+    tau:    [np-1, n_nu] per-layer optical depth
+    M_up:   [np, n_nu] upward monochromatic flux  [W/m^2/cm^-1]
+    M_down: [np, n_nu] downward monochromatic flux
+    F_up:   [np] spectrally integrated upward flux [W/m^2]
+    F_down: [np] integrated downward flux
+    F_net:  [np] F_up - F_down
+    """
+
+    tau: jnp.ndarray
+    M_up: jnp.ndarray
+    M_down: jnp.ndarray
+    F_up: jnp.ndarray
+    F_down: jnp.ndarray
+    F_net: jnp.ndarray
+
+
+def layer_planck(B1, B2, tau, t):
+    """Linear-in-tau layer emission (Clough, Iacono & Moncet 1992).
+
+    Ref discretized.jl:83-87: Be = B2(1-t) - (B1-B2)t + (1-t)(B1-B2)/tau,
+    the exact solution of the Schwarzschild equation across a layer whose
+    Planck function varies linearly in optical depth.
+    """
+    dB = B1 - B2
+    return B2 * (1.0 - t) - dB * t + (1.0 - t) * dB / tau
+
+
+def lobatto_pressures(P, nlobatto: int):
+    """Intra-layer Gauss-Lobatto node pressures [np-1, nlobatto]. Ref discretized.jl:11-30."""
+    x, _ = lobatto_unit_nodes(nlobatto)
+    P = jnp.asarray(P)
+    dP = P[1:] - P[:-1]
+    return P[:-1, None] + dP[:, None] * jnp.asarray(x)[None, :]
+
+
+def layer_tau(P, Tn, mun, sigman, g, nlobatto: int, floor: bool = True):
+    """Per-layer vertical optical depth tau[np-1, n_nu] by Lobatto quadrature.
+
+    Ref discretized.jl:136-177 (``𝒹depth!``) with beta = 1e-4 Na sigma/(g mu)
+    (ref discretized.jl:60-81).
+
+    Arguments: P [np] ascending; Tn, mun [np-1, nlobatto] at intra-layer nodes;
+    sigman [np-1, nlobatto, n_nu] total cross-sections at the nodes.
+    """
+    _, w = lobatto_unit_nodes(nlobatto)
+    w = jnp.asarray(w)
+    P = jnp.asarray(P)
+    dP = (P[1:] - P[:-1])[:, None, None]
+    C = 1e-4 * N_AVOGADRO / g
+    beta = C * sigman / mun[:, :, None]
+    tau = jnp.sum(dP * w[None, :, None] * beta, axis=1)  # [np-1, n_nu]
+    if floor:
+        tau = jnp.maximum(tau, jnp.asarray(TAU_MIN, dtype=tau.dtype))
+    return tau
+
+
+def path_tau(P, Tn, mun, sigman, g, m, nlobatto: int):
+    """Total slant-path optical depth [n_nu] between P[0] and P[-1], angle factor m.
+
+    Ref discretized.jl:92-134 (``𝒹depth``) — no per-layer floor is applied on
+    this diagnostic path, matching the reference.
+    """
+    tau = layer_tau(P, Tn, mun, sigman, g, nlobatto, floor=False)
+    return m * jnp.sum(tau, axis=0)
+
+
+def _march(tau_m, B_lo, B_hi, I0):
+    """Scan one direction through layers: I <- I*t + Be, emitting I after each layer.
+
+    tau_m: [L, nstream, n_nu] stream-weighted layer optical depths (in march order)
+    B_lo/B_hi: [L, n_nu] Planck at the entry/exit level of each layer (march order)
+    I0: [nstream, n_nu] initial intensity.
+    Returns stacked intensities [L, nstream, n_nu] after each layer.
+    """
+
+    def step(I, xs):
+        tm, b1, b2 = xs
+        t = jnp.exp(-tm)
+        Be = layer_planck(b1[None, :], b2[None, :], tm, t)
+        I = I * t + Be
+        return I, I
+
+    _, Is = lax.scan(step, I0, (tau_m, B_lo, B_hi))
+    return Is
+
+
+def monoflux(tau, B, nu, S_nu, albedo_nu, theta_s, nstream: int):
+    """Whole-column monochromatic up/down fluxes. Ref discretized.jl:249-326.
+
+    Arguments:
+      tau: [L, n_nu] per-layer vertical optical depth (L = np-1), floored.
+      B: [np, n_nu] Planck at levels (P ascending: index 0 = TOA, -1 = surface).
+      nu: [n_nu] wavenumbers.
+      S_nu: [n_nu] incoming stellar spectral flux at TOA [W/m^2/cm^-1].
+      albedo_nu: [n_nu] surface albedo.
+      theta_s: stellar zenith angle [rad] (default cos ~ 2/3 upstream).
+      nstream: hemispheric quadrature order.
+
+    Returns (M_up, M_down): [np, n_nu].
+    """
+    m, W = stream_nodes(nstream)
+    m = jnp.asarray(m, dtype=tau.dtype)
+    W = jnp.asarray(W, dtype=tau.dtype)
+    L, n_nu = tau.shape
+    tau_m = tau[:, None, :] * m[None, :, None]  # [L, nstream, n_nu]
+
+    # downward atmospheric emission (ref :282-294)
+    I0 = jnp.zeros((nstream, n_nu), dtype=tau.dtype)
+    Is_down = _march(tau_m, B[:-1], B[1:], I0)  # [L, nstream, n_nu]
+    M_down_body = jnp.einsum("k,lkv->lv", W, Is_down)
+    M_down = jnp.concatenate([jnp.zeros((1, n_nu), tau.dtype), M_down_body], axis=0)
+
+    # direct stellar beam, attenuated by exp(-tau/cos(theta_s)) (ref :299-304)
+    c = jnp.cos(jnp.asarray(theta_s, dtype=tau.dtype))
+    beam_top = c * S_nu
+    beam = beam_top[None, :] * jnp.exp(-jnp.cumsum(tau, axis=0) / c)
+    M_down = M_down + jnp.concatenate([beam_top[None, :], beam], axis=0)
+
+    # Lambertian reflection + surface Planck emission, marched upward (ref :309-322)
+    I_surf = M_down[-1] * albedo_nu / jnp.pi + B[-1]  # [n_nu]
+    Is_up = _march(
+        tau_m[::-1],
+        B[1:][::-1],
+        B[:-1][::-1],
+        jnp.broadcast_to(I_surf[None, :], (nstream, n_nu)),
+    )
+    M_up_body = jnp.einsum("k,lkv->lv", W, Is_up)[::-1]
+    M_up = jnp.concatenate([M_up_body, (jnp.pi * I_surf)[None, :]], axis=0)
+    return M_up, M_down
+
+
+def outgoing_flux(tau, B, nstream: int, vertical: bool = False):
+    """Outgoing monochromatic flux at TOA [n_nu]: upward march from surface Planck.
+
+    The working semantics of the reference's ``outgoing`` (Radau path,
+    ref fluxes.jl:133-158; the discretized variant upstream is dead code — see
+    SURVEY.md quirks): surface emission only, no stellar beam, no reflection.
+
+    ``vertical=True`` uses a single vertical beam scaled by pi (flux = pi*I(m=1))
+    instead of hemispheric quadrature — the convention of the analytic
+    gray-atmosphere solution and the reference's gray test
+    (ref test/test_gray.jl:43, ``pi*stream(...)`` with m = 1).
+    """
+    if vertical:
+        m, W = np.array([1.0]), np.array([np.pi])
+        nstream = 1
+    else:
+        m, W = stream_nodes(nstream)
+    m = jnp.asarray(m, dtype=tau.dtype)
+    W = jnp.asarray(W, dtype=tau.dtype)
+    nstream_, n_nu = len(np.asarray(m)), tau.shape[1]
+    tau_m = tau[:, None, :] * m[None, :, None]
+    I_surf = jnp.broadcast_to(B[-1][None, :], (nstream, n_nu))
+    Is_up = _march(tau_m[::-1], B[1:][::-1], B[:-1][::-1], I_surf)
+    return jnp.einsum("k,kv->v", W, Is_up[-1])
+
+
+def integrate_flux(M_up, M_down, nu):
+    """Spectral integration of monochromatic fluxes (row-wise trapz). Ref shared.jl:125-136."""
+    F_up = trapz(nu, M_up, axis=-1)
+    F_down = trapz(nu, M_down, axis=-1)
+    return F_up, F_down

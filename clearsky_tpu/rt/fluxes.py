@@ -1,0 +1,282 @@
+"""One-shot flux API: optical depth, transmittance, OLR, and full flux packs.
+
+TPU-native equivalent of ClearSky.jl ``src/fluxes.jl``. Every entry point
+consumes absorbers through dense ``sigma[..., n_nu]`` evaluation and runs the
+whole spectrum through the discretized core at once — the reference's
+per-wavenumber ``@threads``/``@spawn`` loops (ref fluxes.jl:61,93,152,185,228,270)
+become XLA vector parallelism (and mesh sharding, see ``clearsky_tpu.parallel``).
+
+Core selectors:
+  * :class:`Discretized` — the reference's default engine (ref shared.jl:55-66).
+  * :class:`RadauEq` — adaptive-equivalent engine replacing the reference's
+    per-wavenumber adaptive Radau ODE integration (ref shared.jl:40-51,
+    ``core/radau.jl``): the same discretized march on a grid refined ``refine``-x
+    in sqrt-P coordinates (which concentrate resolution in the upper
+    atmosphere exactly like the reference's omega-coordinate ODEs,
+    ref util.jl:4-8), with fluxes returned on the caller's levels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.planck import planck
+from ..atmosphere.profile import formprofile, formprofiles
+from ..absorption.absorbers import unify_absorbers, check_pressures
+from .discretized import (
+    FluxPack,
+    lobatto_pressures,
+    layer_tau,
+    path_tau,
+    monoflux,
+    outgoing_flux,
+    integrate_flux,
+)
+
+__all__ = [
+    "Discretized",
+    "RadauEq",
+    "optical_depth",
+    "transmittance",
+    "outgoing",
+    "monochromatic_fluxes",
+    "fluxes",
+    "net_fluxes",
+    "radiate",
+]
+
+DEFAULT_THETA_S = 0.841  # stellar zenith angle, cos(theta) ~ 2/3 (ref fluxes.jl:208)
+
+
+@dataclasses.dataclass(frozen=True)
+class Discretized:
+    """Layered-core selector. Ref shared.jl:55-66."""
+
+    nstream: int = 5
+    nlobatto: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class RadauEq:
+    """Adaptive-equivalent selector: grid-refined discretized core.
+
+    Replaces the reference's ``Radau(nstream, tol)`` adaptive engine
+    (ref shared.jl:40-51); ``refine`` sub-layers per caller layer, spaced in
+    sqrt-P, stand in for adaptive step control.
+    """
+
+    nstream: int = 5
+    nlobatto: int = 3
+    refine: int = 8
+
+
+def _check_azimuth(theta):
+    if not (0 <= theta < np.pi / 2):
+        raise ValueError("zenith angle theta must be in [0, pi/2)")
+
+
+def _check_streams(n):
+    if n < 4:
+        warnings.warn("careful! using nstream < 4 is likely to be inaccurate!")
+
+
+def _spectral_fn(x):
+    """Normalize a spectral input (scalar or f(nu)) to f(nu) -> [n_nu]."""
+    if callable(x):
+        return lambda nu: jnp.broadcast_to(jnp.asarray(x(nu)), jnp.shape(nu))
+    return lambda nu: jnp.full(jnp.shape(nu), jnp.asarray(x))
+
+
+def _eval_profiles(Pn, fT, fmu):
+    Tn = jnp.broadcast_to(jnp.asarray(fT(Pn)), Pn.shape)
+    mun = jnp.broadcast_to(jnp.asarray(fmu(Tn, Pn)), Pn.shape)
+    return Tn, mun
+
+
+def _column_tau(P, g, fT, fmu, A, nlobatto, floor=True):
+    """tau[np-1, n_nu] on an ascending pressure column."""
+    Pn = lobatto_pressures(P, nlobatto)
+    Tn, mun = _eval_profiles(Pn, fT, fmu)
+    sig = A.sigma(Tn, Pn)
+    return layer_tau(P, Tn, mun, sig, g, nlobatto, floor=floor)
+
+
+def _omega_grid(P1, P2, n):
+    """Dense internal grid between two pressures, spaced in omega = -sqrt(P).
+
+    Stands in for the reference's adaptive integration path between two
+    pressure levels (ref fluxes.jl:39-66), resolving the upper atmosphere the
+    same way the omega-coordinate ODEs do.
+    """
+    hi, lo = max(P1, P2), min(P1, P2)
+    w = np.linspace(np.sqrt(lo), np.sqrt(hi), n)
+    return w * w  # ascending pressures
+
+
+def _planck_levels(P, nu, fT):
+    T = jnp.broadcast_to(jnp.asarray(fT(P)), jnp.shape(P))
+    return planck(nu[None, :], T[:, None])
+
+
+def _refined(P, refine):
+    """Insert `refine-1` sqrt-P-spaced interior levels per layer; return
+    (P_refined, indices of the original levels)."""
+    P = np.asarray(P, dtype=np.float64)
+    L = len(P) - 1
+    out = []
+    for i in range(L):
+        w = np.linspace(np.sqrt(P[i]), np.sqrt(P[i + 1]), refine + 1)[:-1]
+        out.append(w * w)
+    Pr = np.concatenate(out + [P[-1:]])
+    idx = np.arange(0, L * refine + 1, refine)
+    return Pr, idx
+
+
+def optical_depth(P, g, T, mu, theta, *absorbers, nlobatto: int = 4, nlevels: int = 128):
+    """Monochromatic slant-path optical depths [n_nu] between two pressures.
+
+    Two call forms, mirroring the reference:
+      * ``optical_depth((P1, P2), ...)`` or two scalars via a 2-tuple — dense
+        internal omega grid (the Radau-path equivalent, ref fluxes.jl:39-66);
+      * ``optical_depth(P_vector, ...)`` — Lobatto quadrature on the given
+        levels (ref fluxes.jl:68-97).
+    """
+    A = unify_absorbers(absorbers)
+    _check_azimuth(theta)
+    P = np.asarray(P, dtype=np.float64)
+    if P.ndim == 0 or len(P) == 2:
+        P1, P2 = (float(P), 1.0) if P.ndim == 0 else (float(P[0]), float(P[1]))
+        Pgrid = _omega_grid(P1, P2, nlevels)
+    else:
+        Pgrid = np.sort(P)
+    check_pressures(A, Pgrid[-1], Pgrid[0])
+    fT, fmu = formprofiles(jnp.asarray(Pgrid), T, mu)
+    m = 1.0 / np.cos(theta)
+    Pg = jnp.asarray(Pgrid)
+    Pn = lobatto_pressures(Pg, nlobatto)
+    Tn, mun = _eval_profiles(Pn, fT, fmu)
+    sig = A.sigma(Tn, Pn)
+    return path_tau(Pg, Tn, mun, sig, g, m, nlobatto)
+
+
+def transmittance(*args, **kwargs):
+    """exp(-optical_depth(...)). Ref fluxes.jl:109."""
+    return jnp.exp(-optical_depth(*args, **kwargs))
+
+
+def outgoing(
+    P,
+    g,
+    T,
+    mu,
+    *absorbers,
+    Ptop: float = 1.0,
+    nstream: int = 5,
+    nlobatto: int = 3,
+    nlevels: int = 128,
+    vertical: bool = False,
+):
+    """Outgoing monochromatic flux at TOA [n_nu] (OLR spectrum).
+
+    Mirrors the working reference semantics (Radau path, ref fluxes.jl:133-158):
+    surface Planck emission marched up through the column with ``nstream``
+    hemispheric streams; integrate with ``trapz(nu, olr)`` for total OLR.
+    Accepts a scalar surface pressure (internal omega grid down to ``Ptop``)
+    or a full pressure vector.
+    """
+    A = unify_absorbers(absorbers)
+    _check_streams(nstream)
+    P = np.asarray(P, dtype=np.float64)
+    Pgrid = _omega_grid(float(P), Ptop, nlevels) if P.ndim == 0 else np.sort(P)
+    check_pressures(A, Pgrid[-1], Pgrid[0])
+    Pg = jnp.asarray(Pgrid)
+    fT, fmu = formprofiles(Pg, T, mu)
+    tau = _column_tau(Pg, g, fT, fmu, A, nlobatto)
+    B = _planck_levels(Pg, A.nu, fT)
+    return outgoing_flux(tau, B, nstream, vertical=vertical)
+
+
+def monochromatic_fluxes(
+    P,
+    g,
+    T,
+    mu,
+    fS,
+    fa,
+    *absorbers,
+    core=Discretized(),
+    theta_s: float = DEFAULT_THETA_S,
+):
+    """Whole-column monochromatic fluxes (M_up, M_down, tau). Ref fluxes.jl:195-306.
+
+    P must be ascending [Pa]; T/mu may be vectors on P, scalars, or callables;
+    fS(nu) is the incoming stellar spectral flux at TOA, fa(nu) surface albedo.
+    """
+    A = unify_absorbers(absorbers)
+    _check_streams(core.nstream)
+    _check_azimuth(theta_s)
+    P = np.asarray(P, dtype=np.float64)
+    if np.any(np.diff(P) <= 0):
+        raise ValueError("pressure coordinates must be in ascending order (sorted)")
+    check_pressures(A, P[-1], P[0])
+    fT, fmu = formprofiles(jnp.asarray(P), T, mu)
+    fS_ = _spectral_fn(fS)
+    fa_ = _spectral_fn(fa)
+    S_nu = fS_(A.nu)
+    a_nu = fa_(A.nu)
+
+    if isinstance(core, RadauEq):
+        Pr, idx = _refined(P, core.refine)
+        Pr_j = jnp.asarray(Pr)
+        tau_r = _column_tau(Pr_j, g, fT, fmu, A, core.nlobatto)
+        B_r = _planck_levels(Pr_j, A.nu, fT)
+        M_up_r, M_down_r = monoflux(tau_r, B_r, A.nu, S_nu, a_nu, theta_s, core.nstream)
+        M_up, M_down = M_up_r[idx], M_down_r[idx]
+        # aggregate refined sub-layer depths back onto caller layers
+        tau = tau_r.reshape(len(P) - 1, core.refine, -1).sum(axis=1)
+        return M_up, M_down, tau
+
+    Pg = jnp.asarray(P)
+    tau = _column_tau(Pg, g, fT, fmu, A, core.nlobatto)
+    B = _planck_levels(Pg, A.nu, fT)
+    M_up, M_down = monoflux(tau, B, A.nu, S_nu, a_nu, theta_s, core.nstream)
+    return M_up, M_down, tau
+
+
+def radiate(
+    P,
+    g,
+    T,
+    mu,
+    fS,
+    fa,
+    *absorbers,
+    core=Discretized(),
+    theta_s: float = DEFAULT_THETA_S,
+) -> FluxPack:
+    """Full radiation pack: monochromatic + spectrally integrated fluxes.
+
+    Ref fluxes.jl:355-404 (``radiate!``/``radiate``).
+    """
+    A = unify_absorbers(absorbers)
+    M_up, M_down, tau = monochromatic_fluxes(
+        P, g, T, mu, fS, fa, A, core=core, theta_s=theta_s
+    )
+    F_up, F_down = integrate_flux(M_up, M_down, A.nu)
+    return FluxPack(tau, M_up, M_down, F_up, F_down, F_up - F_down)
+
+
+def fluxes(P, g, T, mu, fS, fa, *absorbers, **kwargs):
+    """(F_up, F_down) spectrally integrated flux profiles. Ref fluxes.jl:311-340."""
+    F = radiate(P, g, T, mu, fS, fa, *absorbers, **kwargs)
+    return F.F_up, F.F_down
+
+
+def net_fluxes(P, g, T, mu, fS, fa, *absorbers, **kwargs):
+    """F_up - F_down. Ref fluxes.jl:342-352."""
+    F = radiate(P, g, T, mu, fS, fa, *absorbers, **kwargs)
+    return F.F_net

@@ -1,0 +1,68 @@
+"""Gray-gas analytic OLR validation (BASELINE config 1).
+
+The reference's physics integration test (ClearSky.jl ``test/test_gray.jl`` —
+disabled upstream due to a typo, treated as the spec): a gray absorber on a
+dry adiabat must reproduce the closed-form gray-atmosphere OLR
+("Principles of Planetary Climate" eq. 4.32) to <1% relative error across
+whole-atmosphere optical depths from ~1e-4 to ~1e2.
+"""
+
+import numpy as np
+import pytest
+from scipy.integrate import quad
+
+from clearsky_tpu.absorption.gas import GrayGas, SemiGrayGas
+from clearsky_tpu.rt.fluxes import outgoing
+from clearsky_tpu.utils.grids import logrange, trapz
+from clearsky_tpu.constants import R_GAS, SIGMA_SB, N_AVOGADRO
+
+G, MU, CP, PS, TS = 10.0, 0.01, 1e3, 1e5, 300.0
+
+
+def dtau_dP(sigma):
+    return 1e-4 * sigma * N_AVOGADRO / (MU * G)
+
+
+def analytic_olr(sigma):
+    """Pierrehumbert eq. 4.32 (ref test_gray.jl:15-24)."""
+    tau_inf = dtau_dP(sigma) * PS
+    gam = R_GAS / (MU * CP)
+    I, _ = quad(lambda t: np.exp(-t) * t ** (4 * gam), 0, tau_inf, limit=500)
+    return SIGMA_SB * TS**4 * (np.exp(-tau_inf) + tau_inf ** (-4 * gam) * I)
+
+
+@pytest.mark.parametrize("sigma", 10 ** np.linspace(-29, -23, 10))
+def test_gray_olr_vs_analytic(sigma):
+    nu = np.concatenate([logrange(1e-6, 1e5, 10000, 4), [1e6]])
+    fT = lambda P: TS * (P / PS) ** (R_GAS / (MU * CP))
+    fmu = lambda T, P: MU
+    gas = GrayGas.create(sigma, nu)
+    olr_nu = outgoing(
+        PS, G, fT, fmu, gas, Ptop=1e-6, nlobatto=3, nlevels=256, vertical=True
+    )
+    olr = float(trapz(nu, olr_nu))
+    ref = analytic_olr(sigma)
+    assert abs(olr - ref) / ref < 0.01
+
+
+def test_semigray_cuts_spectrum():
+    nu = np.linspace(1.0, 2000.0, 512)
+    sg = SemiGrayGas.create(1e-25, nu, nucut=1000.0)
+    sig = np.asarray(sg.raw_sigma(250.0, 1e4))
+    assert np.all(sig[nu <= 1000.0] == 1e-25)
+    assert np.all(sig[nu > 1000.0] == 0.0)
+
+
+def test_gray_hemispheric_olr_bracket():
+    # hemispheric 5-stream OLR should be below the vertical-beam value for an
+    # absorbing atmosphere (slant paths are optically thicker)
+    nu = np.concatenate([logrange(1e-6, 1e5, 3000, 4), [1e6]])
+    fT = lambda P: TS * (P / PS) ** (R_GAS / (MU * CP))
+    fmu = lambda T, P: MU
+    gas = GrayGas.create(1e-26, nu)
+    hemi = float(trapz(nu, outgoing(PS, G, fT, fmu, gas, Ptop=1e-6, nlevels=128)))
+    vert = float(
+        trapz(nu, outgoing(PS, G, fT, fmu, gas, Ptop=1e-6, nlevels=128, vertical=True))
+    )
+    assert hemi < vert
+    assert hemi > 0.5 * vert
