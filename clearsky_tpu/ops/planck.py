@@ -78,12 +78,17 @@ def f2lam(f):
 def planck(nu, T):
     """Blackbody intensity [W/m^2/cm^-1/sr] at wavenumber nu [cm^-1], temp T [K].
 
-    Ref radiation.jl:48-54. Overflow in exp is safe: 1/(inf-1) -> 0.
+    Ref radiation.jl:48-54. Computed in the underflow-safe form
+    ``p * e^{-x} / (1 - e^{-x})`` rather than ``p / (e^x - 1)``: the naive form
+    overflows e^x to inf for large x, which is fine for the value (-> 0) but
+    poisons jax derivatives with inf/inf = NaN (the Jacobian of the RCM
+    heating flows through here via ``jax.jacfwd``).
     """
     nu_m = 100.0 * nu
     x = H_PLANCK * C_LIGHT * nu_m / (K_BOLTZ * T)
     p = 2.0 * H_PLANCK * C_LIGHT**2 * nu_m**3
-    return 100.0 * p / jnp.expm1(x)
+    em = jnp.exp(-x)
+    return 100.0 * p * em / (-jnp.expm1(-x))
 
 
 def normplanck(nu, T):

@@ -1,0 +1,116 @@
+"""Device meshes and spectral-axis sharding.
+
+The reference parallelizes over the wavenumber axis with shared-memory threads
+(ClearSky.jl ``fluxes.jl:61,93,152,185,228,270``); the TPU-native equivalent is
+a device mesh with the wavenumber grid sharded in contiguous blocks across
+chips (ICI), plus an optional batch axis for column sweeps (SURVEY.md §2.3).
+
+Every per-wavenumber computation in the framework is embarrassingly parallel;
+the single cross-shard reduction is the spectral integral ``trapz(nu, M)``
+(ref shared.jl:125-136). :func:`trapz_weights` rewrites that integral as an
+elementwise weighted sum so it shards cleanly — under GSPMD it lowers to one
+all-reduce over the ``nu`` axis; under ``shard_map`` it is an explicit
+``lax.psum``.
+
+Axis conventions:
+  * ``"nu"``  — spectral/model axis: last dimension of every [..., n_nu] array
+  * ``"batch"`` — data axis: leading dimension of batched column states
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "spectral_mesh",
+    "trapz_weights",
+    "shard_spectral",
+    "replicate",
+    "nu_spec",
+    "spectral_pspecs",
+]
+
+
+def spectral_mesh(n_nu_shards: int | None = None, n_batch: int = 1, devices=None) -> Mesh:
+    """Build a ('batch', 'nu') device mesh.
+
+    With defaults, all devices go to the spectral axis — the analogue of the
+    reference threading over wavenumber. ``n_batch > 1`` splits devices between
+    a column-batch axis and the spectral axis.
+    """
+    devices = jax.devices() if devices is None else list(devices)
+    n = len(devices)
+    if n_nu_shards is None:
+        n_nu_shards = n // n_batch
+    if n_batch * n_nu_shards != n:
+        raise ValueError(
+            f"mesh size {n_batch}x{n_nu_shards} does not match {n} devices"
+        )
+    dev = np.asarray(devices).reshape(n_batch, n_nu_shards)
+    return Mesh(dev, ("batch", "nu"))
+
+
+def trapz_weights(nu) -> jnp.ndarray:
+    """Weights w with trapz(nu, y) == sum(w * y) exactly.
+
+    Turns the spectral trapezoid integral into a pointwise weighted reduction —
+    the form that shards over the ``nu`` axis with a single all-reduce and no
+    neighbor halo (the boundary terms are folded into the static weights).
+    """
+    nu = jnp.asarray(nu)
+    dn = nu[1:] - nu[:-1]
+    w_first = 0.5 * dn[:1]
+    w_last = 0.5 * dn[-1:]
+    w_mid = 0.5 * (dn[1:] + dn[:-1])
+    return jnp.concatenate([w_first, w_mid, w_last])
+
+
+def nu_spec(ndim: int) -> P:
+    """PartitionSpec sharding only the last of ``ndim`` axes over 'nu'."""
+    return P(*([None] * (ndim - 1) + ["nu"]))
+
+
+def _is_spectral(x, n_nu: int) -> bool:
+    return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[-1] == n_nu
+
+
+def spectral_pspecs(tree, n_nu: int, batch_ndim: int = 0):
+    """PartitionSpecs for a pytree: last-axis 'nu' for spectral leaves, leading
+    'batch' axes for leaves with ndim > batch threshold, replicated otherwise."""
+
+    def spec(x):
+        if not hasattr(x, "ndim"):
+            return P()
+        parts = [None] * x.ndim
+        if _is_spectral(x, n_nu):
+            parts[-1] = "nu"
+        if batch_ndim and x.ndim >= 1:
+            parts[0] = "batch"
+        return P(*parts)
+
+    return jax.tree.map(spec, tree)
+
+
+def shard_spectral(tree, mesh: Mesh, n_nu: int):
+    """Place a pytree on the mesh: leaves with trailing dim n_nu sharded over
+    'nu', everything else replicated. Works on any absorber/model pytree."""
+
+    def put(x):
+        if not hasattr(x, "ndim"):
+            return x
+        if _is_spectral(x, n_nu):
+            return jax.device_put(x, NamedSharding(mesh, nu_spec(x.ndim)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate every leaf of a pytree across the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())) if hasattr(x, "ndim") else x,
+        tree,
+    )

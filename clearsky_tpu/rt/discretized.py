@@ -68,15 +68,23 @@ class FluxPack(NamedTuple):
     F_net: jnp.ndarray
 
 
-def layer_planck(B1, B2, tau, t):
+def layer_planck(B1, B2, tau, t, omt=None):
     """Linear-in-tau layer emission (Clough, Iacono & Moncet 1992).
 
     Ref discretized.jl:83-87: Be = B2(1-t) - (B1-B2)t + (1-t)(B1-B2)/tau,
     the exact solution of the Schwarzschild equation across a layer whose
     Planck function varies linearly in optical depth.
+
+    ``omt`` is 1 - t computed accurately (-expm1(-tau)). Computing it by
+    subtraction is catastrophic in float32 for near-transparent layers
+    (tau ~ the 1e-6 floor): the ~6% rounding error in (1-t) multiplies dB/tau
+    and biases every layer's emission, which accumulates across the column
+    march into O(1) flux errors on TPU.
     """
     dB = B1 - B2
-    return B2 * (1.0 - t) - dB * t + (1.0 - t) * dB / tau
+    if omt is None:
+        omt = -jnp.expm1(-tau)
+    return B2 * omt - dB * t + omt * dB / tau
 
 
 def lobatto_pressures(P, nlobatto: int):
@@ -130,7 +138,8 @@ def _march(tau_m, B_lo, B_hi, I0):
     def step(I, xs):
         tm, b1, b2 = xs
         t = jnp.exp(-tm)
-        Be = layer_planck(b1[None, :], b2[None, :], tm, t)
+        omt = -jnp.expm1(-tm)
+        Be = layer_planck(b1[None, :], b2[None, :], tm, t, omt)
         I = I * t + Be
         return I, I
 

@@ -112,7 +112,12 @@ class SpectralLines:
 
     @classmethod
     def from_par(cls, filename: str, **kwargs) -> "SpectralLines":
-        """Read a .par file directly. Ref par.jl:286."""
+        """Read a .par file directly. Ref par.jl:286.
+
+        Uses the numeric-only parse (C++ fast path when built) — the line
+        physics never reads the quantum-state string columns.
+        """
+        kwargs.setdefault("strings", False)
         return cls.from_par_dict(read_par(filename, **kwargs))
 
     def __repr__(self):  # pragma: no cover - cosmetic

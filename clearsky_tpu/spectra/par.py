@@ -78,6 +78,7 @@ def read_par(
     Scut: float = 0.0,
     I=(),
     maxlines: int = -1,
+    strings: bool = True,
 ) -> dict:
     """Parse a HITRAN .par file into a dict of numpy column arrays.
 
@@ -86,24 +87,38 @@ def read_par(
       I — isotopologue selection (characters or local integer indices);
       maxlines — keep only the strongest N lines. Output is always re-sorted
       ascending in wavenumber.
+
+    ``strings=False`` omits the quantum-state/reference string columns (the
+    physics never reads them) and lets the parse run entirely through the
+    multithreaded C++ fast path when built (see ``clearsky_tpu.native``).
     """
     if not str(filename).endswith(".par"):
         raise ValueError(
             "expected file with .par extension, downloaded from https://hitran.org/lbl/"
         )
-    mat = _records_to_bytes(str(filename))
-    n = mat.shape[0]
     par: dict = {}
-    par["M"] = _parse_float_col(mat, 0, 2).astype(np.int16)
-    par["I"] = np.frombuffer(np.ascontiguousarray(mat[:, 2:3]).tobytes(), dtype="S1").astype("U1")
-    for key, a, b in PAR_COLUMNS:
-        if key in _FLOAT_KEYS:
-            par[key] = _parse_float_col(mat, a, b)
-        elif key in _STRING_KEYS:
-            w = b - a
-            par[key] = np.frombuffer(
-                np.ascontiguousarray(mat[:, a:b]).tobytes(), dtype=f"S{w}"
-            ).astype(f"U{w}")
+    if not strings:
+        from ..native import parse_par_native
+
+        par = parse_par_native(str(filename)) or {}
+    if par:
+        n = len(par["nu"])
+    else:
+        mat = _records_to_bytes(str(filename))
+        n = mat.shape[0]
+        par = {}
+        par["M"] = _parse_float_col(mat, 0, 2).astype(np.int16)
+        par["I"] = np.frombuffer(
+            np.ascontiguousarray(mat[:, 2:3]).tobytes(), dtype="S1"
+        ).astype("U1")
+        for key, a, b in PAR_COLUMNS:
+            if key in _FLOAT_KEYS:
+                par[key] = _parse_float_col(mat, a, b)
+            elif strings and key in _STRING_KEYS:
+                w = b - a
+                par[key] = np.frombuffer(
+                    np.ascontiguousarray(mat[:, a:b]).tobytes(), dtype=f"S{w}"
+                ).astype(f"U{w}")
 
     # filtering (ref par.jl:153-171)
     mask = np.ones(n, dtype=bool)

@@ -1,0 +1,110 @@
+"""Checkpoint/restore for baked gases and RCE state.
+
+The reference has no in-package persistence — its docs point users at Julia's
+``Serialization`` to save baked ``Gas`` objects (ref docs/src/gas_objects.md,
+"Storing Gases"). Here persistence is first-class, since table baking is the
+expensive initialization: flat ``.npz`` archives hold every array leaf plus a
+JSON manifest of the static fields, so checkpoints are portable, inspectable,
+and independent of Python pickling.
+
+Supported objects: :class:`~clearsky_tpu.absorption.gas.Gas` (baked tables)
+and RCM temperature-state snapshots. ``DirectGas`` needs no checkpoint — its
+state is the line catalog, which reloads from the ``.par`` file faster than
+any table bake.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..absorption.domain import AtmosphericDomain
+from ..absorption.gas import Gas, as_concentration
+
+__all__ = ["save_gas", "load_gas", "save_rcm_state", "load_rcm_state"]
+
+_FORMAT = "clearsky-tpu-gas-v1"
+
+
+def save_gas(path: str, gas: Gas) -> None:
+    """Save a baked Gas (table coefficients + domain + identity) to ``.npz``.
+
+    The concentration closure is NOT serialized (it is arbitrary user code);
+    pass ``fC`` to :func:`load_gas`, or reconcentrate after loading — this
+    mirrors the reference's ``reconcentrate`` pattern (ref gases.jl:292-320).
+    """
+    d = gas.domain
+    manifest = {
+        "format": _FORMAT,
+        "name": gas.name,
+        "formula": gas.formula,
+        "mu": gas.mu,
+        "domain": {
+            "Tmin": d.Tmin, "Tmax": d.Tmax, "nT": d.nT,
+            "Pmin": d.Pmin, "Pmax": d.Pmax, "nP": d.nP,
+        },
+    }
+    np.savez_compressed(
+        path,
+        manifest=np.frombuffer(json.dumps(manifest).encode(), dtype=np.uint8),
+        nu=np.asarray(gas.nu),
+        coeffs=np.asarray(gas.coeffs),
+    )
+
+
+def load_gas(path: str, fC=1.0) -> Gas:
+    """Load a baked Gas saved by :func:`save_gas`, with concentration ``fC``."""
+    with np.load(path) as z:
+        manifest = json.loads(bytes(z["manifest"]).decode())
+        if manifest.get("format") != _FORMAT:
+            raise ValueError(f"not a clearsky-tpu gas checkpoint: {path}")
+        dm = manifest["domain"]
+        domain = AtmosphericDomain.create(
+            (dm["Tmin"], dm["Tmax"]), dm["nT"], (dm["Pmin"], dm["Pmax"]), dm["nP"]
+        )
+        return Gas(
+            nu=jnp.asarray(z["nu"]),
+            coeffs=jnp.asarray(z["coeffs"]),
+            name=manifest["name"],
+            formula=manifest["formula"],
+            mu=manifest["mu"],
+            domain=domain,
+            fC=as_concentration(fC),
+        )
+
+
+def save_rcm_state(path: str, rcm) -> None:
+    """Snapshot the prognostic RCE state (grids + temperatures + cached sigma)."""
+    np.savez_compressed(
+        path,
+        Pe=np.asarray(rcm.Pe),
+        P=np.asarray(rcm.P),
+        T=np.asarray(rcm.T),
+        Pr=np.asarray(rcm.Pr),
+        ln_sigma=np.asarray(rcm.A.ln_sigma),
+        A_T=np.asarray(rcm.A.T),
+        nu=np.asarray(rcm.nu),
+    )
+
+
+def load_rcm_state(path: str, rcm):
+    """Restore a snapshot into an existing RCM (validates grid compatibility).
+
+    Returns a new RCM with the saved temperatures and cached cross-sections.
+    The model skeleton (absorbers, closures, core) comes from ``rcm``; only
+    state arrays are restored — the standard restart pattern for long RCE
+    integrations.
+    """
+    with np.load(path) as z:
+        for key, cur in (("Pe", rcm.Pe), ("Pr", rcm.Pr), ("nu", rcm.nu)):
+            if z[key].shape != np.asarray(cur).shape or not np.allclose(
+                z[key], np.asarray(cur)
+            ):
+                raise ValueError(f"checkpoint grid '{key}' does not match model")
+        A = dataclasses.replace(
+            rcm.A, ln_sigma=jnp.asarray(z["ln_sigma"]), T=jnp.asarray(z["A_T"])
+        )
+        return dataclasses.replace(rcm, T=jnp.asarray(z["T"]), A=A)

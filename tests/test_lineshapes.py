@@ -51,8 +51,12 @@ def test_voigt_limits():
     dnu = np.linspace(-5, 5, 201)
     fl = np.asarray(ls.fvoigt(dnu, 1e-4, 0.5))
     assert np.allclose(fl, np.asarray(ls.florentz(dnu, 0.5)), rtol=1e-3)
-    fd = np.asarray(ls.fvoigt(dnu, 0.5, 1e-7))
-    assert np.allclose(fd, np.asarray(ls.fdoppler(dnu, 0.5)), rtol=1e-3)
+    # Doppler limit holds only in the core: in the far tail the Voigt's
+    # Lorentzian wings (~ y/(sqrt(pi) x^2)) dominate the Gaussian, however
+    # small gamma is — compare within 3 Doppler widths.
+    core = np.abs(dnu) <= 1.5
+    fd = np.asarray(ls.fvoigt(dnu[core], 0.5, 1e-7))
+    assert np.allclose(fd, np.asarray(ls.fdoppler(dnu[core], 0.5)), rtol=1e-3)
 
 
 def test_profiles_normalize_to_one():
@@ -74,7 +78,9 @@ def test_chi_phco2_continuity():
         hi = float(ls.chi_phco2(brk + 1e-9, T))
         assert lo == pytest.approx(hi, rel=1e-6)
     assert float(ls.chi_phco2(0.5, T)) == 1.0
-    assert float(ls.chi_phco2(200.0, T)) < 1e-3
+    # chi(200 cm^-1, 250 K) = exp(-27 B1 - 90 B2 - 0.0232*80) = 2.63e-3
+    # (Perrin & Hartmann constants, ref line_shapes.jl:467-481)
+    assert float(ls.chi_phco2(200.0, T)) == pytest.approx(2.6294e-3, rel=1e-3)
 
 
 def test_tips_chebyshev_sane():

@@ -1,0 +1,145 @@
+"""RCM tests: heating sanity, equilibrium drive, Jacobian parity, run loop.
+
+Mirrors the reference's RCE capability (ClearSky.jl radiative_convective.jl)
+with analytic gray absorbers so no data files are needed.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clearsky_tpu.absorption.gas import GrayGas, SemiGrayGas
+from clearsky_tpu.constants import R_GAS, SIGMA_SB
+from clearsky_tpu.models import rcm as rcm_mod
+from clearsky_tpu.utils.grids import logrange, pressuregrid
+
+G = 9.8
+MU = 0.029
+CP = 1e3
+PS = 1e5
+PT = 10.0
+NP = 24
+
+
+def make_rcm(sigma=5e-27, S0=0.0, albedo=0.0, Ts=280.0, nnu=400, radmul=2,
+             isothermal=False):
+    nu = np.concatenate([logrange(1e-6, 1e4, nnu - 1, 3), [1e5]])
+    gas = GrayGas.create(sigma, nu)
+    Pe = pressuregrid(PT, PS, NP)
+    if isothermal:
+        Te = np.full_like(Pe, Ts)
+    else:
+        Te = Ts * (Pe / PS) ** (R_GAS / (MU * CP))
+        Te = np.maximum(Te, 150.0)
+    fS = (lambda v: jnp.full(jnp.shape(v), S0 / (1e4 - 1e-6))) if S0 else 0.0
+    return rcm_mod.RCM.create(
+        Pe, Te, G,
+        lambda T, P: MU,
+        fS,
+        albedo,
+        lambda T, P: CP,
+        1e7,
+        gas,
+        radmul=radmul,
+    )
+
+
+def test_rcm_construction_grids():
+    r = make_rcm()
+    Pe = np.asarray(r.Pe)
+    P = np.asarray(r.P)
+    Pr = np.asarray(r.Pr)
+    assert len(P) == NP
+    assert np.allclose(P[:-1], 0.5 * (Pe[:-1] + Pe[1:]))
+    assert P[-1] == Pe[-1]
+    # radmul=2 doubles the layer count (ref radiative_convective.jl:70-85)
+    assert len(Pr) == 2 * (NP - 1) + 1
+    assert np.all(np.diff(Pr) > 0)
+    assert Pr[0] == Pe[0] and Pr[-1] == Pe[-1]
+    sub = rcm_mod.radiative_grid(Pe, 1)
+    assert np.array_equal(sub, Pe)
+
+
+def test_heating_cools_isothermal_column():
+    # with no insolation, an isothermal column must cool everywhere: F_up is
+    # uniform (= sigma T^4) while F_down grows with depth, so the net flux
+    # divergence cools every cell
+    r = make_rcm(sigma=1e-26, isothermal=True)
+    H = np.asarray(rcm_mod.heating(r))
+    assert H.shape == (NP,)
+    assert np.all(H < 0.0)
+
+
+def test_step_euler_update():
+    r = make_rcm()
+    H = np.asarray(rcm_mod.heating(r))
+    r2 = rcm_mod.step(r, 600.0)
+    assert np.allclose(np.asarray(r2.T), np.asarray(r.T) + 600.0 * H)
+
+
+def test_step_n_matches_python_loop():
+    r = make_rcm(nnu=150)
+    dt = 300.0
+    r_scan = rcm_mod.step_n(r, dt, 3)
+    r_loop = r
+    for _ in range(3):
+        r_loop = rcm_mod.step(r_loop, dt)
+    np.testing.assert_allclose(
+        np.asarray(r_scan.T), np.asarray(r_loop.T), rtol=1e-12
+    )
+
+
+def test_jacobian_fwd_vs_fd():
+    r = make_rcm(nnu=120)
+    J_fwd = np.asarray(rcm_mod.jacobian(r, mode="fwd"))
+    J_fd = np.asarray(rcm_mod.jacobian(r, mode="fd", eps=1e-3))
+    assert J_fwd.shape == (NP, NP)
+    # diagonal should be negative (warming a cell increases its cooling)
+    assert np.all(np.diag(J_fwd) < 0)
+    np.testing.assert_allclose(J_fwd, J_fd, rtol=2e-3, atol=1e-11)
+
+
+def test_update_absorber_and_run_loop():
+    r = make_rcm(nnu=150)
+    r2 = rcm_mod.update_absorber(r)  # gray gas: sigma unchanged
+    np.testing.assert_allclose(
+        np.asarray(r2.A.ln_sigma), np.asarray(r.A.ln_sigma), rtol=1e-12
+    )
+    out, recs = rcm_mod.run(
+        r, 300.0, 6, update_every=2, adjust_every=3, cp=CP, mu=MU, record_every=2
+    )
+    assert recs.shape == (3, NP)
+    assert np.all(np.isfinite(np.asarray(out.T)))
+    # trajectory recorded at steps 2,4,6; final record equals final state
+    np.testing.assert_allclose(np.asarray(recs[-1]), np.asarray(out.T))
+
+
+def test_convective_adjustment_enforces_dry_lapse():
+    r = make_rcm()
+    # inject an unstable super-adiabatic kink
+    T = np.asarray(r.T).copy()
+    T[-3] = T[-1] + 50.0
+    import dataclasses
+
+    r = dataclasses.replace(r, T=jnp.asarray(T))
+    r2 = rcm_mod.convective_adjustment(r, CP, MU)
+    T2 = np.asarray(r2.T)
+    P = np.asarray(r.P)
+    # check lapse dT/dP <= dry lapse everywhere (descending pressure order)
+    order = np.argsort(-P)
+    Ts, Ps = T2[order], P[order]
+    gam = (Ts[:-1] / Ps[:-1]) * (R_GAS / (MU * CP))
+    prof = (Ts[1:] - Ts[:-1]) / (Ps[1:] - Ps[:-1])
+    assert np.all(prof <= gam + 1e-10)
+
+
+def test_rce_approaches_radiative_equilibrium():
+    # long integration with stellar heating must drive OLR toward absorbed flux
+    S0 = 240.0 / np.cos(0.841)  # so that absorbed ~ 240 W/m^2 at the default zenith
+    r = make_rcm(sigma=2e-27, S0=S0, Ts=230.0, nnu=200)
+    out, _ = rcm_mod.run(r, 3e4, 400, update_every=0)
+    F = rcm_mod.radiate_state(out)
+    olr = float(F.F_up[0])
+    absorbed = float(F.F_down[0])
+    assert abs(olr - absorbed) / absorbed < 0.05
