@@ -69,6 +69,8 @@ from .absorption.gas import (
     DirectGas,
     GrayGas,
     SemiGrayGas,
+    WellMixedGas,
+    VariableGas,
     opacity_error,
 )
 from .absorption.cia import read_cia, CIATables, CIA, cia_xsec
@@ -109,6 +111,7 @@ from .rt.fluxes import (
     radiate,
 )
 
+from .models.sweep import batched_heating, run_sweep, shard_sweep
 from .models.rcm import (
     RCM,
     heating,

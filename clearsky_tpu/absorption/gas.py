@@ -47,6 +47,8 @@ __all__ = [
     "DirectGas",
     "GrayGas",
     "SemiGrayGas",
+    "WellMixedGas",
+    "VariableGas",
     "bake_sigma_grid",
     "opacity_error",
     "as_concentration",
@@ -243,6 +245,16 @@ class Gas(AbstractGas):
             raise ValueError("gas molar concentrations must be in [0,1]")
         return dataclasses.replace(self, fC=fC)
 
+    def select(self, idx) -> "Gas":
+        """Slice the gas to a subset of its wavenumbers (indices or bool mask).
+
+        Ref gases.jl:322-336 (``getindex`` on a Gas).
+        """
+        idx = np.asarray(idx)
+        return dataclasses.replace(
+            self, nu=self.nu[idx], coeffs=self.coeffs[:, idx]
+        )
+
     def __repr__(self):  # pragma: no cover - cosmetic
         return f"Gas({self.name} [{self.formula}], n_nu={self.nu.shape[0]}, mu={self.mu:.6g})"
 
@@ -385,3 +397,25 @@ def opacity_error(
     aerr = approx - exact
     rerr = aerr / np.where(exact == 0, np.nan, exact)
     return T, P, aerr, rerr
+
+
+def WellMixedGas(filename, C, nu, domain, **kwargs) -> Gas:
+    """Baked gas with a constant molar concentration.
+
+    Parity alias for the reference docs' ``WellMixedGas`` (docs/src/
+    gas_objects.md; the upstream source itself folded it into ``Gas`` with a
+    constant-concentration closure).
+    """
+    if not (0.0 <= float(C) <= 1.0):
+        raise ValueError("well-mixed concentration must be in [0,1]")
+    return Gas.from_par(filename, float(C), nu, domain, **kwargs)
+
+
+def VariableGas(filename, fC, nu, domain, **kwargs) -> Gas:
+    """Baked gas with a temperature/pressure-dependent concentration fC(T, P).
+
+    Parity alias for the reference docs' ``VariableGas``.
+    """
+    if not callable(fC):
+        raise TypeError("VariableGas requires a callable fC(T, P)")
+    return Gas.from_par(filename, fC, nu, domain, **kwargs)

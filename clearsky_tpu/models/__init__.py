@@ -1,5 +1,6 @@
 """Time-stepping column models (the reference's L7, ref radiative_convective.jl)."""
 
+from .sweep import batched_heating, run_sweep, shard_sweep
 from .rcm import (
     RCM,
     heating,
@@ -24,4 +25,7 @@ __all__ = [
     "update_absorber",
     "convective_adjustment",
     "radiative_grid",
+    "batched_heating",
+    "run_sweep",
+    "shard_sweep",
 ]

@@ -114,7 +114,11 @@ def _omega_grid(P1, P2, n):
     """
     hi, lo = max(P1, P2), min(P1, P2)
     w = np.linspace(np.sqrt(lo), np.sqrt(hi), n)
-    return w * w  # ascending pressures
+    P = w * w  # ascending pressures
+    # pin the endpoints: the sqrt round trip can overshoot the caller's
+    # pressures by ~1e-11 relative, which the strict table-domain guard rejects
+    P[0], P[-1] = lo, hi
+    return P
 
 
 def _planck_levels(P, nu, fT):
