@@ -33,6 +33,10 @@ def _cmul(ar, ai, br, bi):
 
 
 def _cdiv(ar, ai, br, bi):
+    # NOTE: must stay in the two-division form. The tempting single-reciprocal
+    # rewrite (inv = 1/(br^2+bi^2)) overflows |d|^2 to inf in float32 for the
+    # far-wing arguments of wide-cut line sums (|z| ~ 1e5 -> |d|^2 ~ 1e46),
+    # silently zeroing the profile tails.
     d = br * br + bi * bi
     return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
 
@@ -60,12 +64,15 @@ def wofz_re_im(x, y):
     # t = y - i x
     tr, ti = y, -x
 
-    # region 1: s >= 15 —— w = t * c / (0.5 + t^2)
+    # region 1: s >= 15 —— w = 0.5641896 t/(0.5 + t^2). NOTE: region 1 is not
+    # just a cheaper asymptote — it is the only form whose float32
+    # intermediates survive large |z| (region 2's u(3+u) term squares to
+    # overflow inside the complex divide beyond |z| ~ 4e4, which wide-cut
+    # line sums reach in the far wings).
     t2r, t2i = _cmul(tr, ti, tr, ti)
-    num_r, num_i = 0.5641896 * tr, 0.5641896 * ti
-    w1r, w1i = _cdiv(num_r, num_i, 0.5 + t2r, t2i)
+    w1r, w1i = _cdiv(0.5641896 * tr, 0.5641896 * ti, 0.5 + t2r, t2i)
 
-    # region 2: 5.5 <= s < 15 —— w = t(1.410474 + 0.5641896 u)/(0.75 + u(3 + u)), u = t^2
+    # region 2: 5.5 <= s < 15 —— w = t(1.410474 + 0.5641896 u)/(0.75 + u(3 + u))
     ur, ui = t2r, t2i
     n2r = 1.410474 + 0.5641896 * ur
     n2i = 0.5641896 * ui
@@ -122,7 +129,9 @@ def wofz_re_im(x, y):
     # as x grows (both terms -> 2/sqrt(pi)); for |x| >= 5.5 use its asymptotic
     # series g = (2/sqrt(pi)) [1/(2x^2) + 3/(4x^4) + 15/(8x^6) + 105/(16x^8)]
     # instead of the difference of nearly equal numbers.
-    ex2 = jnp.exp(-x * x)
+    # e^{-x^2} reused from region 4's exponential: eu = exp(min(y^2-x^2, 0)),
+    # so ex2 = eu * e^{-y^2} ~ eu * (1 - y^2) to O(y^4) — avoids a second exp.
+    ex2 = eu * (1.0 - y * y)
     x2 = jnp.maximum(x * x, 1.0)  # guard: series branch only used for |x| >= 5.5
     inv = 1.0 / x2
     g_series = (2.0 / _SQRT_PI) * inv * (0.5 + inv * (0.75 + inv * (1.875 + inv * 6.5625)))

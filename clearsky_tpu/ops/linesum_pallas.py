@@ -50,47 +50,63 @@ def _profile_tile(shape: str, dnu, S, alpha, gamma, T):
     core, so the tile-min predicate almost never fires and the cond is pure
     overhead.)
     """
+    # alpha/gamma/S are per-line rows [1, chunk]; reciprocals there cost
+    # chunk divisions instead of block*chunk broadcast divisions
     if shape in ("voigt", "phco2"):
         # 1/e-width Voigt convention, matching ops.lineshape.fvoigt
         g = gamma * chi_phco2(dnu, T) if shape == "phco2" else gamma
-        x = dnu / alpha
-        y = g / alpha
-        return S * (1.0 / (_SQRT_PI * alpha)) * wofz_re(x, y)
+        ia = 1.0 / alpha
+        x = dnu * ia
+        y = g * ia
+        return (S * (1.0 / _SQRT_PI) * ia) * wofz_re(x, y)
     if shape == "lorentz":
         return S * (gamma / np.pi) / (dnu * dnu + gamma * gamma)
     if shape == "doppler":
-        arg = dnu / alpha
-        return S * (1.0 / (_SQRT_PI * alpha)) * jnp.exp(-arg * arg)
+        ia = 1.0 / alpha
+        arg = dnu * ia
+        return (S * (1.0 / _SQRT_PI) * ia) * jnp.exp(-arg * arg)
     raise ValueError(f"unknown line shape {shape!r}")
 
 
-def _kernel(shape, slab_pad, cut, nu_b_ref, nul_ref, S_ref, a_ref, g_ref,
-            cnt_ref, T_ref, out_ref):
+def _kernel(shape, slab_pad, cut, n_states, nu_b_ref, nul_ref, S_ref, a_ref,
+            g_ref, cnt_ref, T_ref, out_ref):
+    """One program per wavenumber block, all states fused.
+
+    Fusing the state loop into the program (instead of a grid axis) shares the
+    slab DMA, the dnu tile, and the window mask across all states, and cuts
+    the program count (and per-program pipeline overhead) by n_states.
+    """
     B = nu_b_ref.shape[-1]
+    # layout note: grid points on sublanes, the line chunk on lanes. The
+    # alternative (lines on sublanes, sublane-axis reduce) was measured 34%
+    # slower — the per-chunk lane->sublane relayouts of the parameter rows
+    # cost more than the lane reduction saves.
     nu_b = nu_b_ref[0, 0, :].reshape(B, 1)
     cnt = cnt_ref[pl.program_id(0), 0]
-    T = T_ref[pl.program_id(1), 0]
-    acc = jnp.zeros((B,), jnp.float32)
+    acc0 = jnp.zeros((n_states, B), jnp.float32)
 
     def body(c, acc):
         o = c * CHUNK
         nul = nul_ref[0, 0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
-        S = S_ref[0, 0, 0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
-        al = a_ref[0, 0, 0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
-        ga = g_ref[0, 0, 0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
-        dnu = nu_b - nul                       # [B, CHUNK]
+        dnu = nu_b - nul                       # [B, CHUNK], shared by states
         offs = o + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         mask = (offs < cnt) & (jnp.abs(dnu) <= cut)
-        f = _profile_tile(shape, dnu, S, al, ga, T)
-        return acc + jnp.sum(jnp.where(mask, f, 0.0), axis=1)
+        rows = []
+        for st in range(n_states):             # static unroll
+            S = S_ref[st, 0, 0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
+            al = a_ref[st, 0, 0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
+            ga = g_ref[st, 0, 0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
+            f = _profile_tile(shape, dnu, S, al, ga, T_ref[st, 0])
+            rows.append(jnp.sum(jnp.where(mask, f, 0.0), axis=1))
+        return acc + jnp.stack(rows)
 
     # dynamic trip count: only walk the chunks this block's line count reaches.
     # Counts vary 40x between band heads and sparse spectral regions — this
     # skip is the structural advantage over the XLA path, which must always
     # process the worst-case slab.
     nchunks = (cnt + CHUNK - 1) // CHUNK
-    acc = jax.lax.fori_loop(0, nchunks, body, acc)
-    out_ref[0, 0, 0, :] = acc
+    acc = jax.lax.fori_loop(0, nchunks, body, acc0)
+    out_ref[:, 0, 0, :] = acc
 
 
 @partial(jax.jit, static_argnames=("plan", "shape", "interpret"))
@@ -136,21 +152,21 @@ def sigma_from_lines_pallas(
     counts = jnp.asarray(plan.count, jnp.int32)[:, None]  # SMEM scalars are 2-D
     T2 = T[:, None]
 
-    kern = partial(_kernel, shape, slab_pad, float(plan.cut))
+    kern = partial(_kernel, shape, slab_pad, float(plan.cut), n_states)
     out = pl.pallas_call(
         kern,
-        grid=(n_blocks, n_states),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 1, B), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, slab_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, slab_pad), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, slab_pad), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, slab_pad), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, slab_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_states, 1, 1, slab_pad), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_states, 1, 1, slab_pad), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_states, 1, 1, slab_pad), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, B), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM
+            (n_states, 1, 1, B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_states, n_blocks, 1, B), jnp.float32),
         interpret=interpret,
