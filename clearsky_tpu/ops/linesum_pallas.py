@@ -109,6 +109,50 @@ def _kernel(shape, slab_pad, cut, n_states, nu_b_ref, nul_ref, S_ref, a_ref,
     out_ref[:, 0, 0, :] = acc
 
 
+def _kernel_resident(shape, cut, n_states, nu_b_ref, nul_ref, S_ref, a_ref,
+                     g_ref, start_ref, cnt_ref, T_ref, out_ref):
+    """Resident-catalog variant: the full per-line arrays live in VMEM and each
+    block slices its contiguous window dynamically.
+
+    Removes the XLA-side slab gather entirely — the banding slabs are
+    contiguous index ranges (the whole point of the plan), so materializing
+    them as gathered copies cost ~75% of the kernel's wall clock.
+    """
+    B = nu_b_ref.shape[-1]
+    nu_b = nu_b_ref[0, 0, :].reshape(B, 1)
+    b = pl.program_id(0)
+    start = start_ref[b, 0]  # CHUNK-aligned by construction (host-side)
+    cnt = cnt_ref[b, 0]
+    acc0 = jnp.zeros((n_states, B), jnp.float32)
+
+    def body(c, acc):
+        # lane-dimension dynamic slices must be provably 128-aligned on TPU;
+        # the plan aligns starts down to CHUNK multiples (the |dnu| <= cut
+        # mask makes the extra leading lines inert)
+        o = pl.multiple_of(start + c * CHUNK, CHUNK)
+        nul = nul_ref[0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
+        dnu = nu_b - nul                       # [B, CHUNK], shared by states
+        local = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        mask = (local < cnt) & (jnp.abs(dnu) <= cut)
+        rows = []
+        for st in range(n_states):             # static unroll
+            S = S_ref[st, pl.ds(o, CHUNK)].reshape(1, CHUNK)
+            al = a_ref[st, pl.ds(o, CHUNK)].reshape(1, CHUNK)
+            ga = g_ref[st, pl.ds(o, CHUNK)].reshape(1, CHUNK)
+            f = _profile_tile(shape, dnu, S, al, ga, T_ref[st, 0])
+            rows.append(jnp.sum(jnp.where(mask, f, 0.0), axis=1))
+        return acc + jnp.stack(rows)
+
+    nchunks = (cnt + CHUNK - 1) // CHUNK
+    acc = jax.lax.fori_loop(0, nchunks, body, acc0)
+    out_ref[:, 0, 0, :] = acc
+
+
+# VMEM budget for keeping the whole line catalog resident (bytes); beyond
+# this the gathered-slab fallback runs instead.
+_RESIDENT_VMEM_LIMIT = 6 * 2**20
+
+
 @partial(jax.jit, static_argnames=("plan", "shape", "interpret"))
 def sigma_from_lines_pallas(
     plan: LineWindowPlan,
@@ -124,6 +168,11 @@ def sigma_from_lines_pallas(
     Drop-in for :func:`clearsky_tpu.ops.linesum.sigma_from_lines` restricted to
     1-D state batches (T, P, Pp of shape [n_states]). Set ``interpret=True``
     to run the kernel in interpreter mode off-TPU (used by the CPU test suite).
+
+    Two execution strategies, chosen by catalog size: small catalogs stay
+    fully VMEM-resident and each block dynamically slices its contiguous line
+    window in-kernel (no materialized slabs); large catalogs fall back to
+    XLA-gathered per-block slabs.
     """
     T = jnp.atleast_1d(jnp.asarray(T, jnp.float32))
     P = jnp.atleast_1d(jnp.asarray(P, jnp.float32))
@@ -138,6 +187,53 @@ def sigma_from_lines_pallas(
 
     n_blocks, B = plan.n_blocks, plan.block
     slab_pad = -(-plan.slab // CHUNK) * CHUNK
+    nu_blocks = jnp.asarray(plan.nu_blocks, jnp.float32)[:, None, :]
+    counts = jnp.asarray(plan.count, jnp.int32)[:, None]  # SMEM scalars are 2-D
+    T2 = T[:, None]
+
+    n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
+    resident_bytes = (3 * n_states + 1) * n_lines_pad * 4
+    if resident_bytes <= _RESIDENT_VMEM_LIMIT:
+        # pad with far-away line positions (window mask kills them) and zero
+        # strengths so out-of-range dynamic slices read inert data
+        pad_n = n_lines_pad - n_lines
+        nul_full = jnp.concatenate([nu_l, jnp.full((pad_n,), 1e30, jnp.float32)])[None, :]
+        zpad = jnp.zeros((n_states, pad_n), jnp.float32)
+        opad = jnp.ones((n_states, pad_n), jnp.float32)
+        S_full = jnp.concatenate([S, zpad], axis=1)
+        a_full = jnp.concatenate([alpha, opad], axis=1)
+        g_full = jnp.concatenate([gamma, opad], axis=1)
+        # align starts down to CHUNK so in-kernel lane slices are provably
+        # 128-aligned; the freed lead-in lines are outside every point's
+        # window (start was the searchsorted lower bound), so the cut mask
+        # zeroes them — counts grow by the alignment slack
+        start_al = (plan.start // CHUNK) * CHUNK
+        cnt_al = plan.start - start_al + plan.count
+        starts = jnp.asarray(start_al, jnp.int32)[:, None]
+        counts = jnp.asarray(cnt_al, jnp.int32)[:, None]
+        kern = partial(_kernel_resident, shape, float(plan.cut), n_states)
+        out = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # nul_full, resident
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # S_full
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # a_full
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # g_full
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # T
+            ],
+            out_specs=pl.BlockSpec(
+                (n_states, 1, 1, B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_states, n_blocks, 1, B), jnp.float32),
+            interpret=interpret,
+        )(nu_blocks, nul_full, S_full, a_full, g_full, starts, counts, T2)
+        return out.reshape(n_states, n_blocks * B)[:, : plan.n_nu]
+
+    # fallback: XLA-gathered slabs (large catalogs)
     offs = np.arange(slab_pad, dtype=np.int32)
     idx = np.clip(plan.start[:, None] + offs[None, :], 0, max(n_lines - 1, 0))
     idx_j = jnp.asarray(idx)
@@ -148,9 +244,6 @@ def sigma_from_lines_pallas(
     S_g = S[:, idx_j][:, :, None, :]                     # [n_states, n_blocks, 1, slab_pad]
     a_g = alpha[:, idx_j][:, :, None, :]
     g_g = gamma[:, idx_j][:, :, None, :]
-    nu_blocks = jnp.asarray(plan.nu_blocks, jnp.float32)[:, None, :]
-    counts = jnp.asarray(plan.count, jnp.int32)[:, None]  # SMEM scalars are 2-D
-    T2 = T[:, None]
 
     kern = partial(_kernel, shape, slab_pad, float(plan.cut), n_states)
     out = pl.pallas_call(
