@@ -36,6 +36,7 @@ from ..ops.linesum import (
     LineWindowPlan,
     build_line_window_plan,
     sigma_from_lines,
+    sigma_from_lines_auto,
     DEFAULT_CUT,
 )
 from ..spectra.lines import SpectralLines
@@ -131,7 +132,7 @@ def bake_sigma_grid(
     for a in range(0, len(Tf), tp_batch):
         b = min(a + tp_batch, len(Tf))
         out[a:b] = np.asarray(
-            sigma_from_lines(
+            sigma_from_lines_auto(
                 plan,
                 lines,
                 jnp.asarray(Tf[a:b]),
@@ -300,7 +301,7 @@ class DirectGas(AbstractGas):
         T = jnp.asarray(T)
         P = jnp.asarray(P)
         C = jnp.asarray(self.fC(T, P))
-        return sigma_from_lines(self.plan, self.lines, T, P, C * P, self.shape)
+        return sigma_from_lines_auto(self.plan, self.lines, T, P, C * P, self.shape)
 
     def reconcentrate(self, fC) -> "DirectGas":
         """New DirectGas with different concentration — self-broadening IS

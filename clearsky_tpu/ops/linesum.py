@@ -40,7 +40,13 @@ from .lineshape import (
     chi_phco2,
 )
 
-__all__ = ["LineWindowPlan", "build_line_window_plan", "sigma_from_lines", "PROFILES"]
+__all__ = [
+    "LineWindowPlan",
+    "build_line_window_plan",
+    "sigma_from_lines",
+    "sigma_from_lines_auto",
+    "PROFILES",
+]
 
 
 # unified profile signature: f(dnu, S, alpha, gamma, T) -> cross-section [cm^2/molecule]
@@ -194,3 +200,42 @@ def sigma_from_lines(
     sig = jnp.moveaxis(sig, 0, -2)  # [..., n_blocks, B]
     sig = sig.reshape(sig.shape[:-2] + (plan.n_blocks * plan.block,))
     return sig[..., : plan.n_nu]
+
+
+def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt"):
+    """Backend-dispatched line sum: the Pallas TPU kernel on TPU (4.8x the XLA
+    path on-chip), the portable jnp path elsewhere.
+
+    Accepts any broadcastable batch shape for (T, P, Pp); the Pallas kernel
+    takes flat 1-D state batches, so leading dimensions are flattened and
+    restored around it.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return sigma_from_lines(plan, lines, T, P, Pp, shape)
+    from .linesum_pallas import sigma_from_lines_pallas
+
+    T = jnp.asarray(T)
+    P = jnp.asarray(P)
+    Pp = jnp.asarray(Pp)
+    shp = jnp.broadcast_shapes(T.shape, P.shape, Pp.shape)
+    Tf = jnp.broadcast_to(T, shp).reshape(-1)
+    Pf = jnp.broadcast_to(P, shp).reshape(-1)
+    Ppf = jnp.broadcast_to(Pp, shp).reshape(-1)
+    # the kernel unrolls its state loop — bound the unroll (and its VMEM
+    # residency) by splitting large batches into groups
+    GROUP = 16
+    n = Tf.shape[0]
+    if n <= GROUP:
+        sig = sigma_from_lines_pallas(plan, lines, Tf, Pf, Ppf, shape)
+    else:
+        parts = [
+            sigma_from_lines_pallas(
+                plan, lines, Tf[a : a + GROUP], Pf[a : a + GROUP],
+                Ppf[a : a + GROUP], shape,
+            )
+            for a in range(0, n, GROUP)
+        ]
+        sig = jnp.concatenate(parts, axis=0)
+    return sig.reshape(shp + (plan.n_nu,))
