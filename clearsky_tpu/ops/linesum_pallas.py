@@ -209,29 +209,44 @@ def sigma_from_lines_pallas(
         # zeroes them — counts grow by the alignment slack
         start_al = (plan.start // CHUNK) * CHUNK
         cnt_al = plan.start - start_al + plan.count
-        starts = jnp.asarray(start_al, jnp.int32)[:, None]
-        counts = jnp.asarray(cnt_al, jnp.int32)[:, None]
         kern = partial(_kernel_resident, shape, float(plan.cut), n_states)
-        out = pl.pallas_call(
-            kern,
-            grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # nul_full, resident
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # S_full
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # a_full
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # g_full
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # T
-            ],
-            out_specs=pl.BlockSpec(
-                (n_states, 1, 1, B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((n_states, n_blocks, 1, B), jnp.float32),
-            interpret=interpret,
-        )(nu_blocks, nul_full, S_full, a_full, g_full, starts, counts, T2)
-        return out.reshape(n_states, n_blocks * B)[:, : plan.n_nu]
+
+        # SMEM rows cost ~512 B each regardless of width (1 MB budget), so the
+        # per-block scalar arrays cap a single call at ~SEG blocks; larger
+        # grids run as several segment calls over the same resident catalog.
+        SEG = 512
+        outs = []
+        for a in range(0, n_blocks, SEG):
+            b = min(a + SEG, n_blocks)
+            seg = b - a
+            out = pl.pallas_call(
+                kern,
+                grid=(seg,),
+                in_specs=[
+                    pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # nul_full, resident
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # S_full
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # a_full
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # g_full
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # T
+                ],
+                out_specs=pl.BlockSpec(
+                    (n_states, 1, 1, B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((n_states, seg, 1, B), jnp.float32),
+                interpret=interpret,
+            )(
+                nu_blocks[a:b],
+                nul_full, S_full, a_full, g_full,
+                jnp.asarray(start_al[a:b], jnp.int32)[:, None],
+                jnp.asarray(cnt_al[a:b], jnp.int32)[:, None],
+                T2,
+            )
+            outs.append(out.reshape(n_states, seg * B))
+        full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        return full[:, : plan.n_nu]
 
     # fallback: XLA-gathered slabs (large catalogs)
     offs = np.arange(slab_pad, dtype=np.int32)
