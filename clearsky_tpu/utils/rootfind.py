@@ -19,7 +19,16 @@ def _terminate(a, b, tol):
 
 
 def regula_falsi(F, x1, x2, p=None, tol: float = 1e-6):
-    """Bracketing false-position root solver. Ref util.jl:106-132."""
+    """Bracketing false-position root solver (Illinois variant).
+
+    Same contract as the reference's ``regulafalsi`` (ref util.jl:106-132)
+    but a faster, stagnation-free iteration: the reference freezes the
+    endpoint ordinates (bisection-slow); the naive textbook update instead
+    pins one endpoint forever on convex functions and — combined with the
+    bracket-midpoint return — can report a point far from the root. The
+    Illinois weighting avoids both, and the returned value is the last
+    false-position estimate itself.
+    """
     if x1 == x2:
         raise ValueError("starting points must not be identical")
     y1 = F(x1, p)
@@ -30,21 +39,25 @@ def regula_falsi(F, x1, x2, p=None, tol: float = 1e-6):
         return x2
     if np.sign(y1) == np.sign(y2):
         raise ValueError("regula falsi non-bracketing")
-    ym = np.finfo(float).max
-    ypp = 0.0
-    n = 0
-    while (not (_terminate(x1, x2, tol) and _terminate(ypp, ym, tol))) or (n < 2):
-        ypp = ym
+    xm = x1
+    side = 0
+    for _ in range(10000):
+        xm_prev = xm
         xm = x1 - y1 * (x2 - x1) / (y2 - y1)
         ym = F(xm, p)
-        if y1 * ym > 0:
+        if ym == 0 or _terminate(xm_prev, xm, tol):
+            return xm
+        if np.sign(ym) == np.sign(y1):
             x1, y1 = xm, ym
+            if side == 1:
+                y2 *= 0.5  # Illinois: damp the stale endpoint
+            side = 1
         else:
             x2, y2 = xm, ym
-        n += 1
-        if n > 10000:
-            break
-    return (x1 + x2) / 2.0
+            if side == -1:
+                y1 *= 0.5
+            side = -1
+    return xm
 
 
 def secant(F, x1, x2, p=None, tol: float = 1e-6):
