@@ -33,8 +33,16 @@ def substellarlatitude(f, gamma):
 
 
 def hourangle(theta, theta_s):
-    """Sunrise/sunset hour angle with polar day/night clamps. Ref insolation.jl:17-25."""
-    x = -jnp.sin(theta) * jnp.sin(theta_s) / (jnp.cos(theta) * jnp.cos(theta_s))
+    """Sunrise/sunset hour angle with polar day/night clamps. Ref insolation.jl:17-25.
+
+    The cosine product in the denominator is floored at a tiny positive value:
+    mathematically cos >= 0 on [-pi/2, pi/2], but float32's nearest pi/2
+    rounds past the true value and cos comes out NEGATIVE (~-4.4e-8), which
+    flips the polar day/night clamp and silently negates polar insolation on
+    TPU.
+    """
+    denom = jnp.maximum(jnp.cos(theta) * jnp.cos(theta_s), 1e-30)
+    x = -jnp.sin(theta) * jnp.sin(theta_s) / denom
     return jnp.arccos(jnp.clip(x, -1.0, 1.0))
 
 

@@ -5,6 +5,7 @@ the insolation factors against analytic limits (ref orbits.jl, insolation.jl).
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from scipy.integrate import quad
 
@@ -109,3 +110,20 @@ def test_annualfluxfactors_batch():
     theta, F = annualfluxfactors(0.1, 0.3, 0.0, ntheta=11)
     assert np.asarray(F).shape == (11,)
     assert np.all(np.asarray(F) >= 0)
+
+
+def test_hourangle_float32_poles():
+    # float32's nearest pi/2 overshoots, making cos(theta) negative (-4.4e-8);
+    # the denominator floor must keep polar day/night clamps correct
+    th32 = jnp.float32(np.pi / 2)
+    for ths, expect in [(0.3, np.pi), (-0.3, 0.0)]:
+        h = float(hourangle(th32, jnp.float32(ths)))
+        assert h == pytest.approx(expect, abs=1e-6)
+
+
+def test_annual_factors_nonnegative_float32():
+    theta = jnp.asarray(np.linspace(-np.pi / 2, np.pi / 2, 9), jnp.float32)
+    F = np.asarray(annualfluxfactor(0.0167, theta, 0.41, 0.0))
+    assert np.all(F >= 0.0)
+    # poles get sin(gamma)/pi on an (almost) circular orbit
+    assert F[0] == pytest.approx(np.sin(0.41) / np.pi, rel=1e-2)
