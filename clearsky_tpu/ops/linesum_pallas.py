@@ -68,8 +68,8 @@ def _profile_tile(shape: str, dnu, S, alpha, gamma, T):
     raise ValueError(f"unknown line shape {shape!r}")
 
 
-def _kernel(shape, slab_pad, cut, n_states, nu_b_ref, nul_ref, S_ref, a_ref,
-            g_ref, cnt_ref, T_ref, out_ref):
+def _kernel(shape, slab_pad, cut, n_states, nu_b_ref, nu_b_lo_ref, nul_ref,
+            nul_lo_ref, S_ref, a_ref, g_ref, cnt_ref, T_ref, out_ref):
     """One program per wavenumber block, all states fused.
 
     Fusing the state loop into the program (instead of a grid axis) shares the
@@ -82,13 +82,18 @@ def _kernel(shape, slab_pad, cut, n_states, nu_b_ref, nul_ref, S_ref, a_ref,
     # slower — the per-chunk lane->sublane relayouts of the parameter rows
     # cost more than the lane reduction saves.
     nu_b = nu_b_ref[0, 0, :].reshape(B, 1)
+    nu_b_lo = nu_b_lo_ref[0, 0, :].reshape(B, 1)
     cnt = cnt_ref[pl.program_id(0), 0]
     acc0 = jnp.zeros((n_states, B), jnp.float32)
 
     def body(c, acc):
         o = c * CHUNK
         nul = nul_ref[0, 0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
-        dnu = nu_b - nul                       # [B, CHUNK], shared by states
+        nul_lo = nul_lo_ref[0, 0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
+        # two-float dnu: the hi difference is exact for nearby values
+        # (Sterbenz) and the f32 position residuals restore ~1e-7 cm^-1
+        # accuracy that raw f32 positions (~1e-4 rounding) cannot deliver
+        dnu = (nu_b - nul) + (nu_b_lo - nul_lo)  # [B, CHUNK], shared
         offs = o + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         mask = (offs < cnt) & (jnp.abs(dnu) <= cut)
         rows = []
@@ -109,8 +114,9 @@ def _kernel(shape, slab_pad, cut, n_states, nu_b_ref, nul_ref, S_ref, a_ref,
     out_ref[:, 0, 0, :] = acc
 
 
-def _kernel_resident(shape, cut, n_states, nu_b_ref, nul_ref, S_ref, a_ref,
-                     g_ref, start_ref, cnt_ref, T_ref, out_ref):
+def _kernel_resident(shape, cut, n_states, nu_b_ref, nu_b_lo_ref, nul_ref,
+                     nul_lo_ref, S_ref, a_ref, g_ref, start_ref, cnt_ref,
+                     T_ref, out_ref):
     """Resident-catalog variant: the full per-line arrays live in VMEM and each
     block slices its contiguous window dynamically.
 
@@ -120,6 +126,7 @@ def _kernel_resident(shape, cut, n_states, nu_b_ref, nul_ref, S_ref, a_ref,
     """
     B = nu_b_ref.shape[-1]
     nu_b = nu_b_ref[0, 0, :].reshape(B, 1)
+    nu_b_lo = nu_b_lo_ref[0, 0, :].reshape(B, 1)
     b = pl.program_id(0)
     start = start_ref[b, 0]  # CHUNK-aligned by construction (host-side)
     cnt = cnt_ref[b, 0]
@@ -131,7 +138,8 @@ def _kernel_resident(shape, cut, n_states, nu_b_ref, nul_ref, S_ref, a_ref,
         # mask makes the extra leading lines inert)
         o = pl.multiple_of(start + c * CHUNK, CHUNK)
         nul = nul_ref[0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
-        dnu = nu_b - nul                       # [B, CHUNK], shared by states
+        nul_lo = nul_lo_ref[0, pl.ds(o, CHUNK)].reshape(1, CHUNK)
+        dnu = (nu_b - nul) + (nu_b_lo - nul_lo)  # two-float, see _kernel
         local = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         mask = (local < cnt) & (jnp.abs(dnu) <= cut)
         rows = []
@@ -182,12 +190,21 @@ def sigma_from_lines_pallas(
     S = S.astype(jnp.float32)
     alpha = alpha.astype(jnp.float32)
     gamma = gamma.astype(jnp.float32)
-    nu_l = jnp.asarray(lines.nu, jnp.float32)
+    # two-float line positions: hi (f32) + residual lo (f32) reconstruct dnu
+    # to ~1e-7 cm^-1 inside the f32 kernel
+    nu_l = jnp.asarray(lines.nu).astype(jnp.float32)
+    if jnp.asarray(lines.nu).dtype == jnp.float32:
+        nu_l_lo = jnp.asarray(lines.nu_lo, jnp.float32)
+    else:
+        nu_l_lo = (jnp.asarray(lines.nu) - nu_l.astype(jnp.float64)).astype(jnp.float32)
     n_lines = nu_l.shape[0]
 
     n_blocks, B = plan.n_blocks, plan.block
     slab_pad = -(-plan.slab // CHUNK) * CHUNK
-    nu_blocks = jnp.asarray(plan.nu_blocks, jnp.float32)[:, None, :]
+    nb64 = np.asarray(plan.nu_blocks, np.float64)
+    nb_hi = nb64.astype(np.float32)
+    nu_blocks = jnp.asarray(nb_hi)[:, None, :]
+    nu_blocks_lo = jnp.asarray((nb64 - nb_hi.astype(np.float64)).astype(np.float32))[:, None, :]
     counts = jnp.asarray(plan.count, jnp.int32)[:, None]  # SMEM scalars are 2-D
     T2 = T[:, None]
 
@@ -198,6 +215,7 @@ def sigma_from_lines_pallas(
         # strengths so out-of-range dynamic slices read inert data
         pad_n = n_lines_pad - n_lines
         nul_full = jnp.concatenate([nu_l, jnp.full((pad_n,), 1e30, jnp.float32)])[None, :]
+        nul_lo_full = jnp.concatenate([nu_l_lo, jnp.zeros((pad_n,), jnp.float32)])[None, :]
         zpad = jnp.zeros((n_states, pad_n), jnp.float32)
         opad = jnp.ones((n_states, pad_n), jnp.float32)
         S_full = jnp.concatenate([S, zpad], axis=1)
@@ -224,7 +242,9 @@ def sigma_from_lines_pallas(
                 grid=(seg,),
                 in_specs=[
                     pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),  # nul_full, resident
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # nul_lo_full
                     pl.BlockSpec(memory_space=pltpu.VMEM),  # S_full
                     pl.BlockSpec(memory_space=pltpu.VMEM),  # a_full
                     pl.BlockSpec(memory_space=pltpu.VMEM),  # g_full
@@ -238,8 +258,8 @@ def sigma_from_lines_pallas(
                 out_shape=jax.ShapeDtypeStruct((n_states, seg, 1, B), jnp.float32),
                 interpret=interpret,
             )(
-                nu_blocks[a:b],
-                nul_full, S_full, a_full, g_full,
+                nu_blocks[a:b], nu_blocks_lo[a:b],
+                nul_full, nul_lo_full, S_full, a_full, g_full,
                 jnp.asarray(start_al[a:b], jnp.int32)[:, None],
                 jnp.asarray(cnt_al[a:b], jnp.int32)[:, None],
                 T2,
@@ -256,6 +276,7 @@ def sigma_from_lines_pallas(
     # singleton axes keep the TPU (sublane, lane) tiling rule satisfied: every
     # VMEM block's trailing two dims are (1, full-lane-width)
     nul_g = nu_l[idx_j][:, None, :]                      # [n_blocks, 1, slab_pad]
+    nul_lo_g = nu_l_lo[idx_j][:, None, :]
     S_g = S[:, idx_j][:, :, None, :]                     # [n_states, n_blocks, 1, slab_pad]
     a_g = alpha[:, idx_j][:, :, None, :]
     g_g = gamma[:, idx_j][:, :, None, :]
@@ -266,6 +287,8 @@ def sigma_from_lines_pallas(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, slab_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, slab_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_states, 1, 1, slab_pad), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_states, 1, 1, slab_pad), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
@@ -278,5 +301,5 @@ def sigma_from_lines_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((n_states, n_blocks, 1, B), jnp.float32),
         interpret=interpret,
-    )(nu_blocks, nul_g, S_g, a_g, g_g, counts, T2)
+    )(nu_blocks, nu_blocks_lo, nul_g, nul_lo_g, S_g, a_g, g_g, counts, T2)
     return out.reshape(n_states, n_blocks * B)[:, : plan.n_nu]

@@ -30,12 +30,17 @@ class SpectralLines:
 
     Data fields (leaves) have leading dimension n_lines unless noted:
       nu, S, ga, gs, Epp, na — HITRAN line parameters (see ``read_par``),
+      nu_lo — float32 residual of the float64 line positions (nu64 - f32(nu64)),
+        letting float32 device kernels reconstruct dnu to ~1e-7 cm^-1 via
+        two-float arithmetic (f32 alone rounds positions by ~1e-4 cm^-1,
+        a percent-level profile error at line cores),
       mu — isotopologue molar mass [kg/mole], A — isotopologue abundance,
       iso — local isotopologue index, iso_ptr — row into ``tips_coeffs``,
       tips_coeffs — [n_iso_present, ncheb_max] Q(T)/Qref Chebyshev fits.
     """
 
     nu: jax.Array
+    nu_lo: jax.Array
     S: jax.Array
     ga: jax.Array
     gs: jax.Array
@@ -93,8 +98,11 @@ class SpectralLines:
 
         idx = np.argsort(par["nu"], kind="stable")
         f = jnp.asarray
+        nu64 = np.asarray(par["nu"][idx], dtype=np.float64)
+        nu_hi32 = nu64.astype(np.float32)
         return cls(
-            nu=f(par["nu"][idx]),
+            nu=f(nu64),
+            nu_lo=f((nu64 - nu_hi32.astype(np.float64)).astype(np.float32)),
             S=f(par["S"][idx]),
             ga=f(par["ga"][idx]),
             gs=f(par["gs"][idx]),
