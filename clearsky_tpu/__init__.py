@@ -109,6 +109,9 @@ from .rt.fluxes import (
     fluxes,
     net_fluxes,
     radiate,
+    top_fluxes,
+    top_imbalance,
+    bottom_fluxes,
 )
 
 from .models.sweep import batched_heating, run_sweep, shard_sweep

@@ -47,6 +47,9 @@ __all__ = [
     "fluxes",
     "net_fluxes",
     "radiate",
+    "top_fluxes",
+    "top_imbalance",
+    "bottom_fluxes",
 ]
 
 DEFAULT_THETA_S = 0.841  # stellar zenith angle, cos(theta) ~ 2/3 (ref fluxes.jl:208)
@@ -284,3 +287,27 @@ def net_fluxes(P, g, T, mu, fS, fa, *absorbers, **kwargs):
     """F_up - F_down. Ref fluxes.jl:342-352."""
     F = radiate(P, g, T, mu, fS, fa, *absorbers, **kwargs)
     return F.F_net
+
+
+def top_fluxes(P, g, T, mu, fS, fa, *absorbers, **kwargs):
+    """(outgoing, incoming) top-of-atmosphere spectrally integrated fluxes.
+
+    The reference documents ``topfluxes`` (docs/modeling.md upstream; the
+    symbol never shipped in its source). Includes reflected stellar radiation
+    through the Lambertian surface, unlike ``outgoing``.
+    """
+    F = radiate(P, g, T, mu, fS, fa, *absorbers, **kwargs)
+    return F.F_up[0], F.F_down[0]
+
+
+def top_imbalance(P, g, T, mu, fS, fa, *absorbers, **kwargs):
+    """Net TOA imbalance: outgoing - incoming (positive = net cooling)."""
+    up, dn = top_fluxes(P, g, T, mu, fS, fa, *absorbers, **kwargs)
+    return up - dn
+
+
+def bottom_fluxes(P, g, T, mu, fS, fa, *absorbers, **kwargs):
+    """(upward, downward) surface spectrally integrated fluxes
+    (the reference's documented ``bottomfluxes``)."""
+    F = radiate(P, g, T, mu, fS, fa, *absorbers, **kwargs)
+    return F.F_up[-1], F.F_down[-1]

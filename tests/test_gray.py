@@ -66,3 +66,23 @@ def test_gray_hemispheric_olr_bracket():
     )
     assert hemi < vert
     assert hemi > 0.5 * vert
+
+
+def test_top_bottom_fluxes_api():
+    from clearsky_tpu.rt.fluxes import top_fluxes, top_imbalance, bottom_fluxes
+
+    nu = np.linspace(1.0, 3000.0, 256)
+    fT = lambda P: TS * (P / PS) ** (R_GAS / (MU * CP))
+    gas = GrayGas.create(1e-27, nu)
+    P = np.geomspace(10.0, PS, 24)
+    S0 = 340.0
+    fS = lambda v: np.full(np.shape(v), S0 / 3000.0)
+    up, dn = top_fluxes(P, G, fT, lambda T, P_: MU, fS, 0.3, gas)
+    imb = top_imbalance(P, G, fT, lambda T, P_: MU, fS, 0.3, gas)
+    bup, bdn = bottom_fluxes(P, G, fT, lambda T, P_: MU, fS, 0.3, gas)
+    assert float(imb) == pytest.approx(float(up - dn), rel=1e-12)
+    assert float(dn) == pytest.approx(S0 * (2999.0 / 3000.0) * np.cos(0.841), rel=1e-6)  # incoming beam
+    assert float(bdn) > 0 and float(bup) > 0
+    # reflected stellar light makes TOA outgoing exceed the no-albedo case
+    up0, _ = top_fluxes(P, G, fT, lambda T, P_: MU, fS, 0.0, gas)
+    assert float(up) > float(up0)
