@@ -69,6 +69,7 @@ from .absorption.gas import (
     DirectGas,
     GrayGas,
     SemiGrayGas,
+    MultiGas,
     WellMixedGas,
     VariableGas,
     opacity_error,

@@ -48,6 +48,7 @@ __all__ = [
     "DirectGas",
     "GrayGas",
     "SemiGrayGas",
+    "MultiGas",
     "WellMixedGas",
     "VariableGas",
     "bake_sigma_grid",
@@ -420,3 +421,66 @@ def VariableGas(filename, fC, nu, domain, **kwargs) -> Gas:
     if not callable(fC):
         raise TypeError("VariableGas requires a callable fC(T, P)")
     return Gas.from_par(filename, fC, nu, domain, **kwargs)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, eq=False)
+class MultiGas(AbstractGas):
+    """Fused multi-molecule direct gas: one merged catalog, one kernel pass.
+
+    Merges several molecules' line catalogs (fixed molar concentrations folded
+    per line, see ``spectra.merge``) so a whole gas mixture evaluates in a
+    single line-sum kernel launch — N separate ``DirectGas`` objects cost N
+    launches over overlapping wavenumber windows. No reference equivalent.
+
+    Note: carries a combined formula, so CIA auto-pairing by formula does not
+    match it — pass individual gases alongside (or construct ``CIA`` pairs
+    explicitly) when continua are needed.
+    """
+
+    lines: object
+    conc: jax.Array      # [n_lines] per-line molar concentration
+    nu: jax.Array
+    plan: LineWindowPlan = dataclasses.field(metadata=dict(static=True), default=None)
+    shape: str = dataclasses.field(metadata=dict(static=True), default="voigt")
+    name: str = dataclasses.field(metadata=dict(static=True), default="")
+    formula: str = dataclasses.field(metadata=dict(static=True), default="")
+    mu: float = dataclasses.field(metadata=dict(static=True), default=float("nan"))
+
+    @classmethod
+    def from_lines(
+        cls, entries, nu, shape: str = "voigt", cut: float | None = None,
+        block: int = 256,
+    ) -> "MultiGas":
+        """Build from [(SpectralLines, concentration), ...]."""
+        from ..spectra.merge import merge_lines
+
+        merged, conc = merge_lines(entries)
+        cut = DEFAULT_CUT[shape] if cut is None else float(cut)
+        nu = _check_nu(nu)
+        plan = build_line_window_plan(nu, np.asarray(merged.nu), cut, block=block)
+        return cls(
+            lines=merged,
+            conc=conc,
+            nu=jnp.asarray(nu),
+            plan=plan,
+            shape=shape,
+            name=merged.name,
+            formula=merged.formula,
+            mu=merged.mean_molar_mass,
+        )
+
+    def raw_sigma(self, T, P):
+        """Mixture cross-section [..., n_nu] — already concentration-scaled."""
+        return sigma_from_lines_auto(
+            self.plan, self.lines, jnp.asarray(T), jnp.asarray(P), None,
+            self.shape, conc=self.conc,
+        )
+
+    def concentration(self, T, P):
+        """Unity: concentrations are folded per line inside the kernel."""
+        return jnp.ones(jnp.broadcast_shapes(jnp.shape(T), jnp.shape(P)))
+
+    @property
+    def fC(self):
+        return lambda T, P: jnp.ones(jnp.broadcast_shapes(jnp.shape(T), jnp.shape(P)))

@@ -124,19 +124,29 @@ def build_line_window_plan(
     )
 
 
-def _line_params(lines, T, P, Pp):
+def _line_params(lines, T, P, Pp, conc=None):
     """Per-line profile parameters at temperature/pressure, batched over T/P dims.
 
     T, P, Pp: broadcastable arrays of shape [...]. Returns (S, alpha, gamma)
     each of shape [..., n_lines]. Mirrors the reference's per-window param
     evaluation (ref line_shapes.jl:419-422) but for all lines densely.
+
+    ``conc`` optionally gives PER-LINE molar concentrations [n_lines] (merged
+    multi-molecule catalogs, see ``spectra.merge``): partial pressures become
+    conc*P per line and intensities are concentration-scaled, so one kernel
+    pass evaluates the whole gas mixture.
     """
     T = jnp.asarray(T)[..., None]
     P = jnp.asarray(P)[..., None]
-    Pp = jnp.asarray(Pp)[..., None]
+    if conc is not None:
+        Pp = jnp.asarray(conc) * P
+    else:
+        Pp = jnp.asarray(Pp)[..., None]
     coeffs = lines.tips_coeffs[lines.iso_ptr]  # [n_lines, ncheb]
     qq = cheb_qref_q(T, coeffs)
     S = scale_intensity(lines.S, lines.nu, lines.Epp, qq, T)
+    if conc is not None:
+        S = S * jnp.asarray(conc)
     alpha = alpha_doppler(lines.nu, lines.mu, T)
     gamma = gamma_lorentz(lines.ga, lines.gs, lines.na, T, P, Pp)
     return S, alpha, gamma
@@ -151,6 +161,7 @@ def sigma_from_lines(
     Pp,
     shape: str = "voigt",
     batch_blocks: int = 4,
+    conc=None,
 ):
     """Absorption cross-section sigma[..., n_nu] [cm^2/molecule] from line data.
 
@@ -167,7 +178,7 @@ def sigma_from_lines(
     """
     profile = PROFILES[shape]
     T = jnp.asarray(T)
-    S, alpha, gamma = _line_params(lines, T, P, Pp)
+    S, alpha, gamma = _line_params(lines, T, P, Pp, conc=conc)
     nu_l = lines.nu
     cut = plan.cut
     slab = plan.slab
@@ -202,7 +213,7 @@ def sigma_from_lines(
     return sig[..., : plan.n_nu]
 
 
-def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt"):
+def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt", conc=None):
     """Backend-dispatched line sum: the Pallas TPU kernel on TPU (4.8x the XLA
     path on-chip), the portable jnp path elsewhere.
 
@@ -213,12 +224,12 @@ def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt"):
     import jax
 
     if jax.default_backend() != "tpu":
-        return sigma_from_lines(plan, lines, T, P, Pp, shape)
+        return sigma_from_lines(plan, lines, T, P, Pp, shape, conc=conc)
     from .linesum_pallas import sigma_from_lines_pallas
 
     T = jnp.asarray(T)
     P = jnp.asarray(P)
-    Pp = jnp.asarray(Pp)
+    Pp = P if Pp is None else jnp.asarray(Pp)  # conc-mode callers pass None
     shp = jnp.broadcast_shapes(T.shape, P.shape, Pp.shape)
     Tf = jnp.broadcast_to(T, shp).reshape(-1)
     Pf = jnp.broadcast_to(P, shp).reshape(-1)
@@ -228,12 +239,12 @@ def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt"):
     GROUP = 16
     n = Tf.shape[0]
     if n <= GROUP:
-        sig = sigma_from_lines_pallas(plan, lines, Tf, Pf, Ppf, shape)
+        sig = sigma_from_lines_pallas(plan, lines, Tf, Pf, Ppf, shape, conc=conc)
     else:
         parts = [
             sigma_from_lines_pallas(
                 plan, lines, Tf[a : a + GROUP], Pf[a : a + GROUP],
-                Ppf[a : a + GROUP], shape,
+                Ppf[a : a + GROUP], shape, conc=conc,
             )
             for a in range(0, n, GROUP)
         ]

@@ -170,6 +170,7 @@ def sigma_from_lines_pallas(
     Pp,
     shape: str = "voigt",
     interpret: bool = False,
+    conc=None,
 ):
     """Absorption cross-sections sigma[n_states, n_nu] via the Pallas TPU kernel.
 
@@ -186,7 +187,7 @@ def sigma_from_lines_pallas(
     P = jnp.atleast_1d(jnp.asarray(P, jnp.float32))
     Pp = jnp.atleast_1d(jnp.asarray(Pp, jnp.float32))
     n_states = T.shape[0]
-    S, alpha, gamma = _line_params(lines, T, P, Pp)  # [n_states, n_lines]
+    S, alpha, gamma = _line_params(lines, T, P, Pp, conc=conc)  # [n_states, n_lines]
     S = S.astype(jnp.float32)
     alpha = alpha.astype(jnp.float32)
     gamma = gamma.astype(jnp.float32)

@@ -1,0 +1,51 @@
+"""Fused multi-molecule gas (MultiGas) vs separate DirectGas objects."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from clearsky_tpu import SpectralLines, DirectGas, MultiGas
+from clearsky_tpu.spectra.merge import merge_lines
+
+
+@pytest.fixture(scope="module")
+def catalogs(fixtures_dir):
+    co2 = SpectralLines.from_par(f"{fixtures_dir}/CO2.par", maxlines=400)
+    h2o = SpectralLines.from_par(f"{fixtures_dir}/H2O.par", maxlines=400)
+    return co2, h2o
+
+
+def test_merge_preserves_lines(catalogs):
+    co2, h2o = catalogs
+    merged, conc = merge_lines([(co2, 4e-4), (h2o, 1e-2)])
+    assert merged.n_lines == co2.n_lines + h2o.n_lines
+    nu = np.asarray(merged.nu)
+    assert np.all(np.diff(nu) >= 0)
+    # every original line present
+    assert np.allclose(
+        np.sort(np.concatenate([np.asarray(co2.nu), np.asarray(h2o.nu)])), nu
+    )
+    c = np.asarray(conc)
+    assert set(np.unique(c)) == {4e-4, 1e-2}
+    # TIPS rows resolve: iso_ptr in range
+    assert int(np.asarray(merged.iso_ptr).max()) < np.asarray(merged.tips_coeffs).shape[0]
+
+
+def test_multigas_matches_sum_of_directgas(catalogs):
+    co2, h2o = catalogs
+    nu = np.linspace(200.0, 2000.0, 1024)
+    g_multi = MultiGas.from_lines([(co2, 4e-4), (h2o, 1e-2)], nu)
+    g_co2 = DirectGas.from_lines(co2, 4e-4, nu)
+    g_h2o = DirectGas.from_lines(h2o, 1e-2, nu)
+    T = jnp.asarray([230.0, 290.0])
+    P = jnp.asarray([1e3, 9e4])
+    fused = np.asarray(g_multi(T, P))
+    split = np.asarray(g_co2(T, P)) + np.asarray(g_h2o(T, P))
+    m = split > 0
+    np.testing.assert_allclose(fused[m], split[m], rtol=1e-10)
+
+
+def test_merge_rejects_bad_concentration(catalogs):
+    co2, _ = catalogs
+    with pytest.raises(ValueError, match="concentration"):
+        merge_lines([(co2, 1.5)])
