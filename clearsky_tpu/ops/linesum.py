@@ -42,22 +42,41 @@ from .lineshape import (
 
 __all__ = [
     "LineWindowPlan",
+    "DeviceWindowPlan",
     "build_line_window_plan",
     "sigma_from_lines",
+    "sigma_from_lines_device",
     "sigma_from_lines_auto",
+    "sigma_from_lines_auto_device",
     "PROFILES",
 ]
 
+_SQRT_LN2 = 0.8325546111576977  # sqrt(ln 2)
 
 # unified profile signature: f(dnu, S, alpha, gamma, T) -> cross-section [cm^2/molecule]
+# The *_ref variants reproduce the reference's HWHM-convention Voigt formula
+# (ref line_shapes.jl:366-378) exactly: it multiplies x, y and the prefactor by
+# sqrt(ln2) while feeding the 1/e Doppler width, which is algebraically
+# identical to the internal convention with alpha -> alpha/sqrt(ln2). See
+# ops.lineshape.fvoigt for why the internal convention is the default.
 PROFILES = {
     "voigt": lambda dnu, S, a, g, T: S * fvoigt(dnu, a, g),
     "lorentz": lambda dnu, S, a, g, T: S * florentz(dnu, g),
     "doppler": lambda dnu, S, a, g, T: S * fdoppler(dnu, a),
     "phco2": lambda dnu, S, a, g, T: S * fvoigt(dnu, a, chi_phco2(dnu, T) * g),
+    "voigt_ref": lambda dnu, S, a, g, T: S * fvoigt(dnu, a / _SQRT_LN2, g),
+    "phco2_ref": lambda dnu, S, a, g, T: S
+    * fvoigt(dnu, a / _SQRT_LN2, chi_phco2(dnu, T) * g),
 }
 
-DEFAULT_CUT = {"voigt": 25.0, "lorentz": 25.0, "doppler": 25.0, "phco2": 500.0}
+DEFAULT_CUT = {
+    "voigt": 25.0,
+    "lorentz": 25.0,
+    "doppler": 25.0,
+    "phco2": 500.0,
+    "voigt_ref": 25.0,
+    "phco2_ref": 500.0,
+}
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -124,6 +143,50 @@ def build_line_window_plan(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, eq=False)
+class DeviceWindowPlan:
+    """Banding plan with per-block data as *device arrays* (pytree leaves).
+
+    Same information as :class:`LineWindowPlan`, but ``nu_blocks``/``start``/
+    ``count`` are jax arrays, so the plan can be sharded over a device mesh and
+    traced inside ``shard_map``/``jit`` — the representation the nu-sharded
+    line-by-line opacity path uses (each spectral shard carries its own plan
+    against its own line slab; SURVEY.md §5 "long-context" halo design).
+
+    ``nu_blocks`` keeps the grid at the ambient precision (float64 on the CPU
+    suite); ``nu_blocks_lo`` holds the float32 residual of the float64 grid so
+    float32 device kernels reconstruct block positions via two-float
+    arithmetic (see ``linesum_pallas``).
+    """
+
+    nu_blocks: jax.Array     # [n_blocks, block]
+    nu_blocks_lo: jax.Array  # [n_blocks, block] float32 residual
+    start: jax.Array         # [n_blocks] int32
+    count: jax.Array         # [n_blocks] int32
+    cut: float = dataclasses.field(metadata=dict(static=True), default=25.0)
+    block: int = dataclasses.field(metadata=dict(static=True), default=256)
+    n_blocks: int = dataclasses.field(metadata=dict(static=True), default=1)
+    slab: int = dataclasses.field(metadata=dict(static=True), default=1)
+    n_nu: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    @classmethod
+    def from_plan(cls, plan: LineWindowPlan) -> "DeviceWindowPlan":
+        nb64 = np.asarray(plan.nu_blocks, np.float64)
+        nb_hi = nb64.astype(np.float32)
+        return cls(
+            nu_blocks=jnp.asarray(nb64),
+            nu_blocks_lo=jnp.asarray((nb64 - nb_hi.astype(np.float64)).astype(np.float32)),
+            start=jnp.asarray(plan.start, jnp.int32),
+            count=jnp.asarray(plan.count, jnp.int32),
+            cut=float(plan.cut),
+            block=int(plan.block),
+            n_blocks=int(plan.n_blocks),
+            slab=int(plan.slab),
+            n_nu=int(plan.n_nu),
+        )
+
+
 def _line_params(lines, T, P, Pp, conc=None):
     """Per-line profile parameters at temperature/pressure, batched over T/P dims.
 
@@ -131,10 +194,11 @@ def _line_params(lines, T, P, Pp, conc=None):
     each of shape [..., n_lines]. Mirrors the reference's per-window param
     evaluation (ref line_shapes.jl:419-422) but for all lines densely.
 
-    ``conc`` optionally gives PER-LINE molar concentrations [n_lines] (merged
-    multi-molecule catalogs, see ``spectra.merge``): partial pressures become
-    conc*P per line and intensities are concentration-scaled, so one kernel
-    pass evaluates the whole gas mixture.
+    ``conc`` optionally gives PER-LINE molar concentrations — shape [n_lines]
+    (fixed, merged multi-molecule catalogs, see ``spectra.merge``) or
+    [..., n_lines] (temperature/pressure-dependent per-molecule fC evaluated
+    per state): partial pressures become conc*P per line and intensities are
+    concentration-scaled, so one kernel pass evaluates the whole gas mixture.
     """
     T = jnp.asarray(T)[..., None]
     P = jnp.asarray(P)[..., None]
@@ -176,17 +240,21 @@ def sigma_from_lines(
         broadcastable leading batch shape [...].
       shape: one of 'voigt' | 'lorentz' | 'doppler' | 'phco2'.
     """
-    profile = PROFILES[shape]
     T = jnp.asarray(T)
     S, alpha, gamma = _line_params(lines, T, P, Pp, conc=conc)
-    nu_l = lines.nu
-    cut = plan.cut
-    slab = plan.slab
-    n_lines = nu_l.shape[0]
+    return _sigma_blocks(
+        shape, T, S, alpha, gamma, lines.nu,
+        jnp.asarray(plan.nu_blocks, dtype=S.dtype),
+        jnp.asarray(plan.start), jnp.asarray(plan.count),
+        plan.cut, plan.slab, plan.n_blocks, plan.block, plan.n_nu, batch_blocks,
+    )
 
-    nu_blocks = jnp.asarray(plan.nu_blocks, dtype=S.dtype)
-    starts = jnp.asarray(plan.start)
-    counts = jnp.asarray(plan.count)
+
+def _sigma_blocks(shape, T, S, alpha, gamma, nu_l, nu_blocks, starts, counts,
+                  cut, slab, n_blocks, block, n_nu, batch_blocks):
+    """Shared block-banded contraction over (nu_blocks, starts, counts)."""
+    profile = PROFILES[shape]
+    n_lines = nu_l.shape[0]
     offs = jnp.arange(slab, dtype=jnp.int32)
 
     def block_fn(xs):
@@ -206,11 +274,76 @@ def sigma_from_lines(
     sig = lax.map(
         block_fn,
         (nu_blocks, starts, counts),
-        batch_size=min(batch_blocks, plan.n_blocks),
+        batch_size=min(batch_blocks, n_blocks),
     )  # [n_blocks, ..., B]
     sig = jnp.moveaxis(sig, 0, -2)  # [..., n_blocks, B]
-    sig = sig.reshape(sig.shape[:-2] + (plan.n_blocks * plan.block,))
-    return sig[..., : plan.n_nu]
+    sig = sig.reshape(sig.shape[:-2] + (n_blocks * block,))
+    return sig[..., :n_nu]
+
+
+@partial(jax.jit, static_argnames=("shape", "batch_blocks"))
+def sigma_from_lines_device(
+    dplan: DeviceWindowPlan,
+    lines,
+    T,
+    P,
+    Pp,
+    shape: str = "voigt",
+    batch_blocks: int = 4,
+    conc=None,
+):
+    """:func:`sigma_from_lines` with the banding plan as device arrays.
+
+    Identical contraction; ``dplan`` is a pytree, so this form works with the
+    plan (and line slab) sharded over a mesh and traced inside ``shard_map`` —
+    the nu-sharded path of SURVEY.md §2.3/§5. At float32 the full-precision
+    block grid is reconstructed as hi + lo before differencing.
+    """
+    T = jnp.asarray(T)
+    S, alpha, gamma = _line_params(lines, T, P, Pp, conc=conc)
+    nu_blocks = dplan.nu_blocks
+    if nu_blocks.dtype != jnp.float64:
+        # float32 environment: nu_blocks is the hi part; the lo residual is
+        # below float32 resolution of dnu here, but the line positions carry
+        # their own residual, so fold both for a consistent two-float diff
+        nu_blocks = nu_blocks + dplan.nu_blocks_lo
+    return _sigma_blocks(
+        shape, T, S, alpha, gamma, lines.nu,
+        nu_blocks.astype(S.dtype), dplan.start, dplan.count,
+        dplan.cut, dplan.slab, dplan.n_blocks, dplan.block, dplan.n_nu,
+        batch_blocks,
+    )
+
+
+def _flatten_states(T, P, Pp, conc, n_lines):
+    """Broadcast (T, P, Pp[, conc]) to a flat 1-D state batch."""
+    T = jnp.asarray(T)
+    P = jnp.asarray(P)
+    Pp = P if Pp is None else jnp.asarray(Pp)  # conc-mode callers pass None
+    shp = jnp.broadcast_shapes(T.shape, P.shape, Pp.shape)
+    concf = None
+    if conc is not None:
+        conc = jnp.asarray(conc)
+        if conc.ndim > 1:  # state-dependent per-line concentrations
+            shp = jnp.broadcast_shapes(shp, conc.shape[:-1])
+            concf = jnp.broadcast_to(conc, shp + (n_lines,)).reshape(-1, n_lines)
+        else:
+            concf = conc
+    Tf = jnp.broadcast_to(T, shp).reshape(-1)
+    Pf = jnp.broadcast_to(P, shp).reshape(-1)
+    Ppf = jnp.broadcast_to(Pp, shp).reshape(-1)
+    return shp, Tf, Pf, Ppf, concf
+
+
+def _conc_group(concf, a, b):
+    if concf is None or concf.ndim == 1:
+        return concf
+    return concf[a:b]
+
+
+# the Pallas kernel unrolls its state loop — bound the unroll (and its VMEM
+# residency) by splitting large batches into groups
+GROUP = 16
 
 
 def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt", conc=None):
@@ -219,34 +352,50 @@ def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt", conc=None
 
     Accepts any broadcastable batch shape for (T, P, Pp); the Pallas kernel
     takes flat 1-D state batches, so leading dimensions are flattened and
-    restored around it.
+    restored around it. Differentiable: the kernel carries a custom JVP whose
+    tangent routes through the jnp oracle (see ``linesum_pallas``).
     """
     import jax
 
     if jax.default_backend() != "tpu":
         return sigma_from_lines(plan, lines, T, P, Pp, shape, conc=conc)
-    from .linesum_pallas import sigma_from_lines_pallas
+    from .linesum_pallas import sigma_from_lines_pallas_jvp
 
-    T = jnp.asarray(T)
-    P = jnp.asarray(P)
-    Pp = P if Pp is None else jnp.asarray(Pp)  # conc-mode callers pass None
-    shp = jnp.broadcast_shapes(T.shape, P.shape, Pp.shape)
-    Tf = jnp.broadcast_to(T, shp).reshape(-1)
-    Pf = jnp.broadcast_to(P, shp).reshape(-1)
-    Ppf = jnp.broadcast_to(Pp, shp).reshape(-1)
-    # the kernel unrolls its state loop — bound the unroll (and its VMEM
-    # residency) by splitting large batches into groups
-    GROUP = 16
+    shp, Tf, Pf, Ppf, concf = _flatten_states(T, P, Pp, conc, lines.nu.shape[0])
     n = Tf.shape[0]
     if n <= GROUP:
-        sig = sigma_from_lines_pallas(plan, lines, Tf, Pf, Ppf, shape, conc=conc)
+        sig = sigma_from_lines_pallas_jvp(plan, lines, Tf, Pf, Ppf, shape, concf)
     else:
         parts = [
-            sigma_from_lines_pallas(
+            sigma_from_lines_pallas_jvp(
                 plan, lines, Tf[a : a + GROUP], Pf[a : a + GROUP],
-                Ppf[a : a + GROUP], shape, conc=conc,
+                Ppf[a : a + GROUP], shape, _conc_group(concf, a, a + GROUP),
             )
             for a in range(0, n, GROUP)
         ]
         sig = jnp.concatenate(parts, axis=0)
     return sig.reshape(shp + (plan.n_nu,))
+
+
+def sigma_from_lines_auto_device(dplan, lines, T, P, Pp, shape="voigt", conc=None):
+    """Backend-dispatched line sum over a device-array plan (sharded path)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return sigma_from_lines_device(dplan, lines, T, P, Pp, shape, conc=conc)
+    from .linesum_pallas import sigma_from_lines_pallas_device
+
+    shp, Tf, Pf, Ppf, concf = _flatten_states(T, P, Pp, conc, lines.nu.shape[0])
+    n = Tf.shape[0]
+    if n <= GROUP:
+        sig = sigma_from_lines_pallas_device(dplan, lines, Tf, Pf, Ppf, shape, conc=concf)
+    else:
+        parts = [
+            sigma_from_lines_pallas_device(
+                dplan, lines, Tf[a : a + GROUP], Pf[a : a + GROUP],
+                Ppf[a : a + GROUP], shape, conc=_conc_group(concf, a, a + GROUP),
+            )
+            for a in range(0, n, GROUP)
+        ]
+        sig = jnp.concatenate(parts, axis=0)
+    return sig.reshape(shp + (dplan.n_nu,))

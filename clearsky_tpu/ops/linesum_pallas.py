@@ -32,9 +32,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .faddeeva import wofz_re
 from .lineshape import chi_phco2
-from .linesum import LineWindowPlan, _line_params
+from .linesum import (
+    LineWindowPlan,
+    DeviceWindowPlan,
+    _line_params,
+    sigma_from_lines,
+    sigma_from_lines_device,
+)
 
-__all__ = ["sigma_from_lines_pallas"]
+__all__ = [
+    "sigma_from_lines_pallas",
+    "sigma_from_lines_pallas_device",
+    "sigma_from_lines_pallas_jvp",
+]
 
 _SQRT_LN2 = 0.8325546111576977
 _SQRT_PI = 1.7724538509055159
@@ -52,9 +62,12 @@ def _profile_tile(shape: str, dnu, S, alpha, gamma, T):
     """
     # alpha/gamma/S are per-line rows [1, chunk]; reciprocals there cost
     # chunk divisions instead of block*chunk broadcast divisions
-    if shape in ("voigt", "phco2"):
-        # 1/e-width Voigt convention, matching ops.lineshape.fvoigt
-        g = gamma * chi_phco2(dnu, T) if shape == "phco2" else gamma
+    if shape in ("voigt", "phco2", "voigt_ref", "phco2_ref"):
+        # 1/e-width Voigt convention, matching ops.lineshape.fvoigt; the
+        # *_ref shapes reproduce the reference's HWHM-convention formula
+        # (= alpha/sqrt(ln2), see ops.linesum.PROFILES)
+        g = gamma * chi_phco2(dnu, T) if shape.startswith("phco2") else gamma
+        alpha = alpha * (1.0 / _SQRT_LN2) if shape.endswith("_ref") else alpha
         ia = 1.0 / alpha
         x = dnu * ia
         y = g * ia
@@ -156,32 +169,81 @@ def _kernel_resident(shape, cut, n_states, nu_b_ref, nu_b_lo_ref, nul_ref,
     out_ref[:, 0, 0, :] = acc
 
 
+def _kernel_resident_grouped(shape, cut, n_states, n_params, nu_b_ref,
+                             nu_b_lo_ref, Pk_ref, start_ref, cnt_ref, T_ref,
+                             out_ref):
+    """Sublane-grouped resident variant: points on LANES, 8-line groups on
+    SUBLANES.
+
+    The lane-major kernel's minimum work is one 128-line chunk per point
+    block; on sparse spectral regions (median 8 in-window lines per block on
+    the CO2 fixture) ~90% of its dense evaluations are masked padding. Here
+    the line axis advances in groups of 8 on sublanes, so per-block work is
+    ceil(cnt/8)*8 lines — ~4.6x fewer dense evals on the bench grid.
+
+    Per 128-line chunk the packed parameter matrix Pk[n_params, 128]
+    (rows: nu_hi, nu_lo, then S/alpha/gamma per state) is transposed ONCE to
+    [128, n_params]; 8-line groups are then 8-aligned sublane slices and the
+    per-group per-state parameter columns are [8, 1] broadcasts — no
+    per-group relayouts.
+    """
+    B = nu_b_ref.shape[-1]
+    nu_b = nu_b_ref[0, 0, :].reshape(1, B)
+    nu_b_lo = nu_b_lo_ref[0, 0, :].reshape(1, B)
+    b = pl.program_id(0)
+    start = start_ref[b, 0]
+    cnt = cnt_ref[b, 0]
+    start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    off = start - start_al              # < CHUNK
+    end = off + cnt                     # last local line (exclusive)
+    acc0 = jnp.zeros((n_states, B), jnp.float32)
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def chunk_body(c, acc):
+        o = pl.multiple_of(start_al + c * CHUNK, CHUNK)
+        Pt = Pk_ref[:, pl.ds(o, CHUNK)].T      # [CHUNK, n_params], one relayout
+        g_lo = jnp.maximum(0, (off - c * CHUNK)) // 8
+        g_hi = jnp.minimum(CHUNK // 8, (end - c * CHUNK + 7) // 8)
+
+        def group_body(g, acc):
+            rows = jax.lax.dynamic_slice_in_dim(   # [8, n_params], 8-aligned
+                Pt, pl.multiple_of(g * 8, 8), 8, axis=0
+            )
+            nul = rows[:, 0:1]
+            nul_lo = rows[:, 1:2]
+            dnu = (nu_b - nul) + (nu_b_lo - nul_lo)   # [8, B] two-float
+            local = c * CHUNK + g * 8 + iota8
+            mask = (local < end) & (jnp.abs(dnu) <= cut)
+            for st in range(n_states):         # static unroll
+                S = rows[:, 2 + 3 * st : 3 + 3 * st]
+                al = rows[:, 3 + 3 * st : 4 + 3 * st]
+                ga = rows[:, 4 + 3 * st : 5 + 3 * st]
+                f = _profile_tile(shape, dnu, S, al, ga, T_ref[st, 0])
+                contrib = jnp.sum(jnp.where(mask, f, 0.0), axis=0).reshape(1, B)
+                acc = acc.at[st : st + 1, :].add(contrib)
+            return acc
+
+        return jax.lax.fori_loop(g_lo, g_hi, group_body, acc)
+
+    nchunks = (end + CHUNK - 1) // CHUNK
+    acc = jax.lax.fori_loop(0, nchunks, chunk_body, acc0)
+    out_ref[:, 0, 0, :] = acc
+
+
 # VMEM budget for keeping the whole line catalog resident (bytes); beyond
 # this the gathered-slab fallback runs instead.
 _RESIDENT_VMEM_LIMIT = 6 * 2**20
 
 
-@partial(jax.jit, static_argnames=("plan", "shape", "interpret"))
-def sigma_from_lines_pallas(
-    plan: LineWindowPlan,
-    lines,
-    T,
-    P,
-    Pp,
-    shape: str = "voigt",
-    interpret: bool = False,
-    conc=None,
-):
-    """Absorption cross-sections sigma[n_states, n_nu] via the Pallas TPU kernel.
+def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
+                       nu_blocks_hi, nu_blocks_lo, start, count,
+                       lines, T, P, Pp, conc, strategy="auto"):
+    """Shared traced implementation behind both plan representations.
 
-    Drop-in for :func:`clearsky_tpu.ops.linesum.sigma_from_lines` restricted to
-    1-D state batches (T, P, Pp of shape [n_states]). Set ``interpret=True``
-    to run the kernel in interpreter mode off-TPU (used by the CPU test suite).
-
-    Two execution strategies, chosen by catalog size: small catalogs stay
-    fully VMEM-resident and each block dynamically slices its contiguous line
-    window in-kernel (no materialized slabs); large catalogs fall back to
-    XLA-gathered per-block slabs.
+    ``cut/B/n_blocks/slab/n_nu`` are python statics; the per-block arrays
+    (``nu_blocks_hi/lo`` [n_blocks, B] f32, ``start``/``count`` [n_blocks]
+    i32) may be constants (static-plan wrapper) or traced values (sharded
+    device-plan wrapper).
     """
     T = jnp.atleast_1d(jnp.asarray(T, jnp.float32))
     P = jnp.atleast_1d(jnp.asarray(P, jnp.float32))
@@ -200,17 +262,59 @@ def sigma_from_lines_pallas(
         nu_l_lo = (jnp.asarray(lines.nu) - nu_l.astype(jnp.float64)).astype(jnp.float32)
     n_lines = nu_l.shape[0]
 
-    n_blocks, B = plan.n_blocks, plan.block
-    slab_pad = -(-plan.slab // CHUNK) * CHUNK
-    nb64 = np.asarray(plan.nu_blocks, np.float64)
-    nb_hi = nb64.astype(np.float32)
-    nu_blocks = jnp.asarray(nb_hi)[:, None, :]
-    nu_blocks_lo = jnp.asarray((nb64 - nb_hi.astype(np.float64)).astype(np.float32))[:, None, :]
-    counts = jnp.asarray(plan.count, jnp.int32)[:, None]  # SMEM scalars are 2-D
+    slab_pad = -(-slab // CHUNK) * CHUNK
+    nu_blocks = nu_blocks_hi[:, None, :]
+    nu_blocks_lo = nu_blocks_lo[:, None, :]
+    counts = count.astype(jnp.int32)[:, None]  # SMEM scalars are 2-D
+    start = start.astype(jnp.int32)
     T2 = T[:, None]
 
     n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
     resident_bytes = (3 * n_states + 1) * n_lines_pad * 4
+    if strategy == "grouped" and resident_bytes <= _RESIDENT_VMEM_LIMIT:
+        pad_n = n_lines_pad - n_lines
+        nul_full = jnp.concatenate([nu_l, jnp.full((pad_n,), 1e30, jnp.float32)])[None, :]
+        nul_lo_full = jnp.concatenate([nu_l_lo, jnp.zeros((pad_n,), jnp.float32)])[None, :]
+        zpad = jnp.zeros((n_states, pad_n), jnp.float32)
+        opad = jnp.ones((n_states, pad_n), jnp.float32)
+        S_full = jnp.concatenate([S, zpad], axis=1)
+        a_full = jnp.concatenate([alpha, opad], axis=1)
+        g_full = jnp.concatenate([gamma, opad], axis=1)
+        rows = [nul_full, nul_lo_full]
+        for st in range(n_states):
+            rows += [S_full[st : st + 1], a_full[st : st + 1], g_full[st : st + 1]]
+        Pk = jnp.concatenate(rows, axis=0)  # [2 + 3*n_states, n_lines_pad]
+        n_params = Pk.shape[0]
+        kern = partial(_kernel_resident_grouped, shape, float(cut), n_states, n_params)
+        SEG = 512
+        outs = []
+        for a in range(0, n_blocks, SEG):
+            b = min(a + SEG, n_blocks)
+            seg = b - a
+            out = pl.pallas_call(
+                kern,
+                grid=(seg,),
+                in_specs=[
+                    pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # Pk, resident
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # starts (raw)
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # counts (raw)
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # T
+                ],
+                out_specs=pl.BlockSpec(
+                    (n_states, 1, 1, B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((n_states, seg, 1, B), jnp.float32),
+                interpret=interpret,
+            )(
+                nu_blocks[a:b], nu_blocks_lo[a:b], Pk,
+                start[a:b][:, None], counts[a:b], T2,
+            )
+            outs.append(out.reshape(n_states, seg * B))
+        full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        return full[:, :n_nu]
+
     if resident_bytes <= _RESIDENT_VMEM_LIMIT:
         # pad with far-away line positions (window mask kills them) and zero
         # strengths so out-of-range dynamic slices read inert data
@@ -225,10 +329,12 @@ def sigma_from_lines_pallas(
         # align starts down to CHUNK so in-kernel lane slices are provably
         # 128-aligned; the freed lead-in lines are outside every point's
         # window (start was the searchsorted lower bound), so the cut mask
-        # zeroes them — counts grow by the alignment slack
-        start_al = (plan.start // CHUNK) * CHUNK
-        cnt_al = plan.start - start_al + plan.count
-        kern = partial(_kernel_resident, shape, float(plan.cut), n_states)
+        # zeroes them — counts grow by the alignment slack. Zero-count blocks
+        # must stay zero: the slack alone would otherwise make them walk a
+        # full inert chunk (~14% of all dense work on the CO2 bench grid).
+        start_al = (start // CHUNK) * CHUNK
+        cnt_al = jnp.where(count == 0, 0, start - start_al + count)
+        kern = partial(_kernel_resident, shape, float(cut), n_states)
 
         # SMEM rows cost ~512 B each regardless of width (1 MB budget), so the
         # per-block scalar arrays cap a single call at ~SEG blocks; larger
@@ -261,18 +367,17 @@ def sigma_from_lines_pallas(
             )(
                 nu_blocks[a:b], nu_blocks_lo[a:b],
                 nul_full, nul_lo_full, S_full, a_full, g_full,
-                jnp.asarray(start_al[a:b], jnp.int32)[:, None],
-                jnp.asarray(cnt_al[a:b], jnp.int32)[:, None],
+                start_al[a:b][:, None],
+                cnt_al[a:b][:, None],
                 T2,
             )
             outs.append(out.reshape(n_states, seg * B))
         full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-        return full[:, : plan.n_nu]
+        return full[:, :n_nu]
 
     # fallback: XLA-gathered slabs (large catalogs)
-    offs = np.arange(slab_pad, dtype=np.int32)
-    idx = np.clip(plan.start[:, None] + offs[None, :], 0, max(n_lines - 1, 0))
-    idx_j = jnp.asarray(idx)
+    offs = jnp.arange(slab_pad, dtype=jnp.int32)
+    idx_j = jnp.clip(start[:, None] + offs[None, :], 0, max(n_lines - 1, 0))
 
     # singleton axes keep the TPU (sublane, lane) tiling rule satisfied: every
     # VMEM block's trailing two dims are (1, full-lane-width)
@@ -282,7 +387,7 @@ def sigma_from_lines_pallas(
     a_g = alpha[:, idx_j][:, :, None, :]
     g_g = gamma[:, idx_j][:, :, None, :]
 
-    kern = partial(_kernel, shape, slab_pad, float(plan.cut), n_states)
+    kern = partial(_kernel, shape, slab_pad, float(cut), n_states)
     out = pl.pallas_call(
         kern,
         grid=(n_blocks,),
@@ -303,4 +408,104 @@ def sigma_from_lines_pallas(
         out_shape=jax.ShapeDtypeStruct((n_states, n_blocks, 1, B), jnp.float32),
         interpret=interpret,
     )(nu_blocks, nu_blocks_lo, nul_g, nul_lo_g, S_g, a_g, g_g, counts, T2)
-    return out.reshape(n_states, n_blocks * B)[:, : plan.n_nu]
+    return out.reshape(n_states, n_blocks * B)[:, :n_nu]
+
+
+@partial(jax.jit, static_argnames=("plan", "shape", "interpret", "strategy"))
+def sigma_from_lines_pallas(
+    plan: LineWindowPlan,
+    lines,
+    T,
+    P,
+    Pp,
+    shape: str = "voigt",
+    interpret: bool = False,
+    conc=None,
+    strategy: str = "auto",
+):
+    """Absorption cross-sections sigma[n_states, n_nu] via the Pallas TPU kernel.
+
+    Drop-in for :func:`clearsky_tpu.ops.linesum.sigma_from_lines` restricted to
+    1-D state batches (T, P, Pp of shape [n_states]). Set ``interpret=True``
+    to run the kernel in interpreter mode off-TPU (used by the CPU test suite).
+
+    Two execution strategies, chosen by catalog size: small catalogs stay
+    fully VMEM-resident and each block dynamically slices its contiguous line
+    window in-kernel (no materialized slabs); large catalogs fall back to
+    XLA-gathered per-block slabs.
+    """
+    nb64 = np.asarray(plan.nu_blocks, np.float64)
+    nb_hi = nb64.astype(np.float32)
+    return _pallas_sigma_impl(
+        shape, interpret, float(plan.cut), plan.block, plan.n_blocks,
+        plan.slab, plan.n_nu,
+        jnp.asarray(nb_hi),
+        jnp.asarray((nb64 - nb_hi.astype(np.float64)).astype(np.float32)),
+        jnp.asarray(plan.start, jnp.int32), jnp.asarray(plan.count, jnp.int32),
+        lines, T, P, Pp, conc, strategy=strategy,
+    )
+
+
+@partial(jax.jit, static_argnames=("shape", "interpret", "strategy"))
+def sigma_from_lines_pallas_device(
+    dplan: DeviceWindowPlan,
+    lines,
+    T,
+    P,
+    Pp,
+    shape: str = "voigt",
+    interpret: bool = False,
+    conc=None,
+    strategy: str = "auto",
+):
+    """Pallas line sum over a device-array plan (the sharded path).
+
+    ``dplan``'s per-block arrays are ordinary pytree leaves, so this entry
+    point works with the plan and line slab sharded over a mesh and traced
+    inside ``shard_map`` — each spectral shard runs the kernel against its own
+    contiguous line slab (SURVEY.md §5 halo design).
+    """
+    nb = dplan.nu_blocks
+    if nb.dtype == jnp.float64:
+        nb_hi = nb.astype(jnp.float32)
+        nb_lo = (nb - nb_hi.astype(jnp.float64)).astype(jnp.float32)
+    else:
+        nb_hi = nb.astype(jnp.float32)
+        nb_lo = dplan.nu_blocks_lo
+    return _pallas_sigma_impl(
+        shape, interpret, dplan.cut, dplan.block, dplan.n_blocks,
+        dplan.slab, dplan.n_nu,
+        nb_hi, nb_lo, dplan.start, dplan.count,
+        lines, T, P, Pp, conc, strategy=strategy,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentiability: the Pallas kernel with a custom JVP whose tangent routes
+# through the jnp oracle (ops.linesum.sigma_from_lines), so jax.jacfwd works
+# through DirectGas/MultiGas on TPU — the equivalent of the reference's
+# any-absorber jacobian (ref radiative_convective.jl:153-171).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _pallas_jvp_core(plan, shape, lines, T, P, Pp, conc):
+    return sigma_from_lines_pallas(plan, lines, T, P, Pp, shape, conc=conc)
+
+
+@_pallas_jvp_core.defjvp
+def _pallas_jvp_rule(plan, shape, primals, tangents):
+    out = _pallas_jvp_core(plan, shape, *primals)
+    _, dout = jax.jvp(
+        lambda lines, T, P, Pp, conc: sigma_from_lines(
+            plan, lines, T, P, Pp, shape, conc=conc
+        ),
+        primals,
+        tangents,
+    )
+    return out, dout
+
+
+def sigma_from_lines_pallas_jvp(plan, lines, T, P, Pp, shape="voigt", conc=None):
+    """Pallas kernel primal + oracle-path JVP (differentiable TPU line sum)."""
+    return _pallas_jvp_core(plan, shape, lines, T, P, Pp, conc)

@@ -16,10 +16,12 @@ from .mesh import (
 )
 from .spectral import (
     pad_nu,
+    shard_lbl,
     sharded_radiate,
     make_sharded_heating,
     make_sharded_step,
 )
+from ..absorption.sharded import ShardedLineGas, shard_line_gas
 
 __all__ = [
     "spectral_mesh",
@@ -29,6 +31,9 @@ __all__ = [
     "nu_spec",
     "spectral_pspecs",
     "pad_nu",
+    "shard_lbl",
+    "shard_line_gas",
+    "ShardedLineGas",
     "sharded_radiate",
     "make_sharded_heating",
     "make_sharded_step",

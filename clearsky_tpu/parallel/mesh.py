@@ -77,11 +77,21 @@ def _is_spectral(x, n_nu: int) -> bool:
     return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[-1] == n_nu
 
 
+def _has_own_specs(x) -> bool:
+    """Nodes that carry their own PartitionSpec tree (e.g. ShardedLineGas,
+    whose leading shard axis — not a trailing n_nu axis — maps to 'nu')."""
+    return hasattr(x, "pspecs")
+
+
 def spectral_pspecs(tree, n_nu: int, batch_ndim: int = 0):
     """PartitionSpecs for a pytree: last-axis 'nu' for spectral leaves, leading
-    'batch' axes for leaves with ndim > batch threshold, replicated otherwise."""
+    'batch' axes for leaves with ndim > batch threshold, replicated otherwise.
+    Nodes exposing ``pspecs()`` (sharded line-by-line gases) supply their own
+    spec subtree."""
 
     def spec(x):
+        if _has_own_specs(x):
+            return x.pspecs()
         if not hasattr(x, "ndim"):
             return P()
         parts = [None] * x.ndim
@@ -91,21 +101,28 @@ def spectral_pspecs(tree, n_nu: int, batch_ndim: int = 0):
             parts[0] = "batch"
         return P(*parts)
 
-    return jax.tree.map(spec, tree)
+    return jax.tree.map(spec, tree, is_leaf=_has_own_specs)
 
 
 def shard_spectral(tree, mesh: Mesh, n_nu: int):
     """Place a pytree on the mesh: leaves with trailing dim n_nu sharded over
-    'nu', everything else replicated. Works on any absorber/model pytree."""
+    'nu', everything else replicated. Works on any absorber/model pytree;
+    nodes exposing ``pspecs()`` are placed leaf-by-leaf per their own specs."""
 
     def put(x):
+        if _has_own_specs(x):
+            return jax.tree.map(
+                lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+                x,
+                x.pspecs(),
+            )
         if not hasattr(x, "ndim"):
             return x
         if _is_spectral(x, n_nu):
             return jax.device_put(x, NamedSharding(mesh, nu_spec(x.ndim)))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree.map(put, tree)
+    return jax.tree.map(put, tree, is_leaf=_has_own_specs)
 
 
 def replicate(tree, mesh: Mesh):

@@ -54,6 +54,7 @@ from .mesh import trapz_weights, shard_spectral, spectral_pspecs, nu_spec
 
 __all__ = [
     "pad_nu",
+    "shard_lbl",
     "sharded_radiate",
     "make_sharded_heating",
     "make_sharded_step",
@@ -66,6 +67,29 @@ def pad_nu(n_nu: int, n_shards: int) -> int:
     return -(-n_nu // n_shards) * n_shards
 
 
+def shard_lbl(tree, n_shards: int):
+    """Convert every DirectGas/MultiGas in a model pytree to a ShardedLineGas.
+
+    Line-by-line gases hold a *global* banding plan against the full catalog;
+    evaluated inside a spectral shard they would sum the whole spectrum's
+    lines against a local grid slice. This rewrites them to per-shard line
+    slabs + plans (see ``absorption.sharded``) so the sharded flux/heating
+    programs are correct for the flagship line-by-line path — the parity
+    anchor for the reference's threads-over-nu with real gases
+    (ref fluxes.jl:270). Applied automatically by the sharded program
+    builders below.
+    """
+    from ..absorption.gas import DirectGas, MultiGas
+    from ..absorption.sharded import shard_line_gas
+
+    is_lbl = lambda x: isinstance(x, (DirectGas, MultiGas))
+    return jax.tree.map(
+        lambda x: shard_line_gas(x, n_shards) if is_lbl(x) else x,
+        tree,
+        is_leaf=is_lbl,
+    )
+
+
 def sharded_radiate(mesh: Mesh, rcm) -> FluxPack:
     """Radiate the RCM state with the spectrum sharded over ``mesh`` (GSPMD).
 
@@ -75,7 +99,7 @@ def sharded_radiate(mesh: Mesh, rcm) -> FluxPack:
     """
     n_nu = rcm.nu.shape[0]
     _check_divisible(n_nu, mesh)
-    rcm_s = shard_spectral(rcm, mesh, n_nu)
+    rcm_s = shard_spectral(shard_lbl(rcm, mesh.shape["nu"]), mesh, n_nu)
     return jax.jit(rcm_mod.radiate_state)(rcm_s)
 
 
@@ -97,7 +121,7 @@ def make_sharded_heating(mesh: Mesh, rcm):
     n_nu = rcm.nu.shape[0]
     _check_divisible(n_nu, mesh)
     w_nu = trapz_weights(rcm.nu)
-    rcm_s = shard_spectral(rcm, mesh, n_nu)
+    rcm_s = shard_spectral(shard_lbl(rcm, mesh.shape["nu"]), mesh, n_nu)
     w_s = jax.device_put(w_nu, NamedSharding(mesh, P("nu")))
     rcm_specs = spectral_pspecs(rcm_s, n_nu)
     A_specs = spectral_pspecs(rcm_s.A, n_nu)
@@ -134,7 +158,7 @@ def make_sharded_step(mesh: Mesh, rcm, dt, update_every: int = 0):
     n_nu = rcm.nu.shape[0]
     _check_divisible(n_nu, mesh)
     w_nu = trapz_weights(rcm.nu)
-    rcm_s = shard_spectral(rcm, mesh, n_nu)
+    rcm_s = shard_spectral(shard_lbl(rcm, mesh.shape["nu"]), mesh, n_nu)
     w_s = jax.device_put(w_nu, NamedSharding(mesh, P("nu")))
     rcm_specs = spectral_pspecs(rcm_s, n_nu)
     A_specs = spectral_pspecs(rcm_s.A, n_nu)

@@ -1,0 +1,152 @@
+"""nu-sharded line-by-line opacity on the 8-device virtual CPU mesh.
+
+The reference's parallel axis exists to scale *real-gas* (line-by-line) work —
+threads over wavenumber with the moving line window (ClearSky.jl
+``fluxes.jl:270``, ``line_shapes.jl:10-22``). These tests prove the TPU
+equivalent: per-shard line slabs with cut-width halos (``absorption.sharded``)
+reproduce the single-device DirectGas/MultiGas/CIA physics under both
+``shard_map`` and GSPMD to reduction-order tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clearsky_tpu.spectra.lines import SpectralLines
+from clearsky_tpu.absorption.gas import DirectGas, MultiGas
+from clearsky_tpu.absorption.cia import CIATables
+from clearsky_tpu.absorption.sharded import ShardedLineGas, shard_line_gas
+from clearsky_tpu.constants import R_GAS
+from clearsky_tpu.models import rcm as rcm_mod
+from clearsky_tpu.parallel import (
+    spectral_mesh,
+    shard_lbl,
+    shard_spectral,
+    sharded_radiate,
+    make_sharded_heating,
+    make_sharded_step,
+)
+from clearsky_tpu.utils.grids import pressuregrid
+
+G, MU, CP, PS, PT = 9.8, 0.044, 850.0, 1e5, 10.0
+N_NU = 512
+
+
+@pytest.fixture(scope="module")
+def co2_lines(fixtures_dir):
+    return SpectralLines.from_par(f"{fixtures_dir}/CO2.par", maxlines=300)
+
+
+@pytest.fixture(scope="module")
+def h2o_lines(fixtures_dir):
+    return SpectralLines.from_par(f"{fixtures_dir}/H2O.par", maxlines=200)
+
+
+def _grid(lines, n=N_NU):
+    nu_l = np.asarray(lines.nu)
+    return np.linspace(nu_l.min() - 25.0, nu_l.max() + 25.0, n)
+
+
+def _rcm(*absorbers, n_levels=12):
+    Pe = pressuregrid(PT, PS, n_levels)
+    Te = np.maximum(280.0 * (Pe / PS) ** (R_GAS / (MU * CP)), 150.0)
+    return rcm_mod.RCM.create(
+        Pe, Te, G, lambda T, P: MU, 0.0, 0.0, lambda T, P: CP, 1e7, *absorbers
+    )
+
+
+def test_sharded_gas_matches_direct(co2_lines):
+    nu = _grid(co2_lines)
+    gas = DirectGas.from_lines(co2_lines, 0.9, nu)
+    sg = shard_line_gas(gas, 8)
+    T = jnp.asarray([210.0, 260.0, 310.0])
+    P = jnp.asarray([1e2, 1e4, 9e4])
+    ref = np.asarray(gas.raw_sigma(T, P))
+    got = np.asarray(sg.raw_sigma(T, P))
+    # same lines in every window; only the banding (summation order) differs
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=ref.max() * 1e-15)
+
+
+def test_sharded_multigas_matches(co2_lines, h2o_lines):
+    nu = _grid(co2_lines)
+    mg = MultiGas.from_lines([(co2_lines, 0.3), (h2o_lines, 0.01)], nu)
+    sg = shard_line_gas(mg, 8)
+    T = jnp.asarray([230.0, 290.0])
+    P = jnp.asarray([5e3, 7e4])
+    ref = np.asarray(mg.raw_sigma(T, P))
+    got = np.asarray(sg.raw_sigma(T, P))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=ref.max() * 1e-15)
+
+
+def test_shard_line_gas_validation(co2_lines):
+    nu = _grid(co2_lines, 510)  # not divisible by 8
+    gas = DirectGas.from_lines(co2_lines, 0.9, nu)
+    with pytest.raises(ValueError):
+        shard_line_gas(gas, 8)
+    gas512 = DirectGas.from_lines(co2_lines, 0.9, _grid(co2_lines))
+    sg = shard_line_gas(gas512, 8)
+    assert shard_line_gas(sg, 8) is sg
+    with pytest.raises(ValueError):
+        shard_line_gas(sg, 4)
+
+
+def test_shard_map_heating_directgas_cia(co2_lines, fixtures_dir):
+    nu = _grid(co2_lines)
+    gas = DirectGas.from_lines(co2_lines, 0.9, nu)
+    cia = CIATables.from_file(f"{fixtures_dir}/CO2-CO2_2018.cia")
+    r = _rcm(gas, cia)
+    H_ref = np.asarray(rcm_mod.heating(r))
+    mesh = spectral_mesh()
+    hfn = make_sharded_heating(mesh, r)
+    H_sh = np.asarray(hfn(r.T))
+    np.testing.assert_allclose(H_sh, H_ref, rtol=1e-9)
+
+
+def test_shard_map_step_trajectory_multigas(co2_lines, h2o_lines):
+    nu = _grid(co2_lines)
+    mg = MultiGas.from_lines([(co2_lines, 0.9), (h2o_lines, 0.005)], nu)
+    r = _rcm(mg)
+    mesh = spectral_mesh()
+    sfn = make_sharded_step(mesh, r, dt=300.0, update_every=2)
+    T, A = r.T, sfn.rcm_sharded.A
+    for i in range(4):
+        T, A = sfn(T, A, i)
+    out, _ = rcm_mod.run(r, 300.0, 4, update_every=2)
+    np.testing.assert_allclose(np.asarray(T), np.asarray(out.T), rtol=1e-9)
+
+
+def test_gspmd_radiate_and_update_directgas(co2_lines):
+    nu = _grid(co2_lines)
+    gas = DirectGas.from_lines(co2_lines, 0.9, nu)
+    r = _rcm(gas)
+    mesh = spectral_mesh()
+    F_ref = rcm_mod.radiate_state(r)
+    F_sh = sharded_radiate(mesh, r)
+    np.testing.assert_allclose(
+        np.asarray(F_sh.F_net), np.asarray(F_ref.F_net), rtol=1e-12
+    )
+    # the absorber update is the path that actually evaluates the line sum
+    r_s = shard_spectral(shard_lbl(r, 8), mesh, N_NU)
+    Te2 = jnp.linspace(160.0, 290.0, r.Pe.shape[0])
+    A_ref = r.A.update(Te2)
+    A_sh = jax.jit(lambda a, t: a.update(t))(r_s.A, Te2)
+    np.testing.assert_allclose(
+        np.asarray(A_sh.ln_sigma), np.asarray(A_ref.ln_sigma), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_sharded_gas_in_batched_columns(co2_lines):
+    # 2-D ('batch', 'nu') placement with the line-by-line absorber
+    nu = _grid(co2_lines)
+    gas = DirectGas.from_lines(co2_lines, 0.9, nu)
+    r = _rcm(gas)
+    mesh = spectral_mesh(n_batch=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    Tb = jnp.stack([r.T, r.T * 1.01, r.T * 0.99, r.T * 1.02])
+    r_s = shard_spectral(shard_lbl(r, mesh.shape["nu"]), mesh, N_NU)
+    Tb_s = jax.device_put(Tb, NamedSharding(mesh, P("batch", None)))
+    Hb = jax.jit(jax.vmap(lambda t: rcm_mod.heating(r_s, t)))(Tb_s)
+    H0 = rcm_mod.heating(r, Tb[1])
+    np.testing.assert_allclose(np.asarray(Hb[1]), np.asarray(H0), rtol=1e-9)
