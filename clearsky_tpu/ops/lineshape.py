@@ -131,6 +131,22 @@ def fvoigt(dnu, alpha, gamma):
     return (beta / _SQRT_PI) * wofz_re(x, y)
 
 
+def fvoigt_ref(dnu, alpha, gamma):
+    """Reference-convention Voigt profile, reproduced EXACTLY.
+
+    Ref line_shapes.jl:366-378: x = sqrt(ln2) dnu/alpha, y = sqrt(ln2)
+    gamma/alpha, f = sqrt(ln2/pi)/alpha * Re w(x + iy) — the HWHM-convention
+    formula applied to the 1/e width ``alpha_doppler`` produces (the
+    convention mix documented in :func:`fvoigt`). Algebraically identical to
+    ``fvoigt(dnu, alpha/sqrt(ln2), gamma)``; provided for allclose
+    cross-validation against reference outputs. The line-sum kernels expose
+    it as shapes ``'voigt_ref'``/``'phco2_ref'`` (see ``ops.linesum.PROFILES``).
+    """
+    x = _SQRT_LN2 * dnu / alpha
+    y = _SQRT_LN2 * gamma / alpha
+    return (_SQRT_LN2 / (alpha * _SQRT_PI)) * wofz_re(x, y)
+
+
 def doppler_xsec(dnu, S, alpha):
     """Doppler cross-section contribution S * fdoppler. Ref line_shapes.jl:173."""
     return S * fdoppler(dnu, alpha)
