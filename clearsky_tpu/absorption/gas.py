@@ -107,6 +107,7 @@ def bake_sigma_grid(
     cut: float | None = None,
     block: int = 256,
     tp_batch: int = 16,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Fill the sigma[nT, nP, n_nu] cross-section grid (the reference's ``bake``).
 
@@ -115,11 +116,28 @@ def bake_sigma_grid(
     and applies the reference's mixed-zero underflow cleanup
     (ref gases.jl:132-142): wavenumbers where zero and nonzero values mix
     across the grid are zeroed everywhere.
+
+    ``backend``: 'auto' (Pallas kernel on TPU, jnp oracle elsewhere — the
+    default), 'oracle' (force the jnp path at ambient precision), or
+    'kernel_f32' (force the float32 Pallas pipeline, interpreted off-TPU —
+    what a TPU bake produces; used by the f32-bake accuracy harness).
     """
     cut = DEFAULT_CUT[shape] if cut is None else float(cut)
     fC = as_concentration(fC)
     nu = _check_nu(nu)
     plan = build_line_window_plan(nu, np.asarray(lines.nu), cut, block=block)
+    if backend == "auto":
+        eval_fn = sigma_from_lines_auto
+    elif backend == "oracle":
+        eval_fn = sigma_from_lines
+    elif backend == "kernel_f32":
+        import jax as _jax
+        from ..ops.linesum_pallas import sigma_from_lines_pallas
+
+        interp = _jax.default_backend() != "tpu"
+        eval_fn = lambda *a, **k: sigma_from_lines_pallas(*a, interpret=interp, **k)
+    else:
+        raise ValueError("backend must be 'auto', 'oracle', or 'kernel_f32'")
     TT, PP = np.meshgrid(domain.T, domain.P, indexing="ij")
     Tf, Pf = TT.ravel(), PP.ravel()
     Cf = np.asarray(jax.vmap(fC)(jnp.asarray(Tf), jnp.asarray(Pf)))
@@ -133,7 +151,7 @@ def bake_sigma_grid(
     for a in range(0, len(Tf), tp_batch):
         b = min(a + tp_batch, len(Tf))
         out[a:b] = np.asarray(
-            sigma_from_lines_auto(
+            eval_fn(
                 plan,
                 lines,
                 jnp.asarray(Tf[a:b]),
@@ -428,10 +446,16 @@ def VariableGas(filename, fC, nu, domain, **kwargs) -> Gas:
 class MultiGas(AbstractGas):
     """Fused multi-molecule direct gas: one merged catalog, one kernel pass.
 
-    Merges several molecules' line catalogs (fixed molar concentrations folded
-    per line, see ``spectra.merge``) so a whole gas mixture evaluates in a
-    single line-sum kernel launch — N separate ``DirectGas`` objects cost N
-    launches over overlapping wavenumber windows. No reference equivalent.
+    Merges several molecules' line catalogs so a whole gas mixture evaluates
+    in a single line-sum kernel launch — N separate ``DirectGas`` objects cost
+    N launches over overlapping wavenumber windows. No reference equivalent.
+
+    Concentrations may be fixed scalars (folded per line at construction,
+    ``conc``) or callables fC(T, P) (full ``Gas``-level generality, ref
+    gases.jl:278): with callables, per-line concentrations [..., n_lines] are
+    gathered from the per-molecule fC values through ``mol_ptr`` at every
+    evaluation, feeding both the intensity scaling and the self-broadening
+    partial pressure.
 
     Note: carries a combined formula, so CIA auto-pairing by formula does not
     match it — pass individual gases alongside (or construct ``CIA`` pairs
@@ -439,10 +463,12 @@ class MultiGas(AbstractGas):
     """
 
     lines: object
-    conc: jax.Array      # [n_lines] per-line molar concentration
+    conc: jax.Array | None   # [n_lines] fixed per-line concentration, or None
     nu: jax.Array
+    mol_ptr: jax.Array | None = None  # [n_lines] entry index (callable mode)
     plan: LineWindowPlan = dataclasses.field(metadata=dict(static=True), default=None)
     shape: str = dataclasses.field(metadata=dict(static=True), default="voigt")
+    fCs: tuple = dataclasses.field(metadata=dict(static=True), default=())
     name: str = dataclasses.field(metadata=dict(static=True), default="")
     formula: str = dataclasses.field(metadata=dict(static=True), default="")
     mu: float = dataclasses.field(metadata=dict(static=True), default=float("nan"))
@@ -452,29 +478,47 @@ class MultiGas(AbstractGas):
         cls, entries, nu, shape: str = "voigt", cut: float | None = None,
         block: int = 256,
     ) -> "MultiGas":
-        """Build from [(SpectralLines, concentration), ...]."""
-        from ..spectra.merge import merge_lines
+        """Build from [(SpectralLines, concentration-or-fC), ...]."""
+        from ..spectra.merge import merge_lines, merge_catalogs
 
-        merged, conc = merge_lines(entries)
         cut = DEFAULT_CUT[shape] if cut is None else float(cut)
         nu = _check_nu(nu)
+        if any(callable(c) for _, c in entries):
+            merged, mol_ptr = merge_catalogs([l for l, _ in entries])
+            conc = None
+            fCs = tuple(as_concentration(c) for _, c in entries)
+        else:
+            merged, conc = merge_lines(entries)
+            mol_ptr, fCs = None, ()
         plan = build_line_window_plan(nu, np.asarray(merged.nu), cut, block=block)
         return cls(
             lines=merged,
             conc=conc,
             nu=jnp.asarray(nu),
+            mol_ptr=mol_ptr,
             plan=plan,
             shape=shape,
+            fCs=fCs,
             name=merged.name,
             formula=merged.formula,
             mu=merged.mean_molar_mass,
         )
 
+    def _conc(self, T, P):
+        """Per-line concentration array ([n_lines] or [..., n_lines])."""
+        if self.mol_ptr is not None:
+            cs = jnp.stack(
+                [jnp.asarray(f(T, P)) for f in self.fCs], axis=-1
+            )  # [..., n_mols]
+            return jnp.take(cs, self.mol_ptr.astype(jnp.int32), axis=-1)
+        return self.conc
+
     def raw_sigma(self, T, P):
         """Mixture cross-section [..., n_nu] — already concentration-scaled."""
+        T = jnp.asarray(T)
+        P = jnp.asarray(P)
         return sigma_from_lines_auto(
-            self.plan, self.lines, jnp.asarray(T), jnp.asarray(P), None,
-            self.shape, conc=self.conc,
+            self.plan, self.lines, T, P, None, self.shape, conc=self._conc(T, P),
         )
 
     def concentration(self, T, P):

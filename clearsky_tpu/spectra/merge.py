@@ -21,34 +21,28 @@ import jax.numpy as jnp
 
 from .lines import SpectralLines
 
-__all__ = ["merge_lines"]
+__all__ = ["merge_catalogs", "merge_lines"]
 
 
-def merge_lines(entries) -> tuple[SpectralLines, jnp.ndarray]:
-    """Merge [(SpectralLines, concentration), ...] into one sorted catalog.
+def merge_catalogs(lines_list) -> tuple[SpectralLines, jnp.ndarray]:
+    """Merge several molecules' catalogs into one sorted catalog.
 
-    Returns (merged_lines, conc[n_lines]) with every per-line array
+    Returns (merged_lines, mol_ptr[n_lines]) with every per-line array
     concatenated and re-sorted by wavenumber; TIPS coefficient tables are
-    stacked with ``iso_ptr`` re-offset. Concentrations must be fixed scalars
-    (T/P-dependent concentrations need per-gas evaluation — use separate
-    DirectGas objects for those).
+    stacked with ``iso_ptr`` re-offset, and ``mol_ptr`` records which input
+    catalog each merged line came from (for per-molecule concentration
+    gathers — the fused equivalent of ref gases.jl:278's fC(T,P)).
     """
-    if len(entries) == 0:
+    if len(lines_list) == 0:
         raise ValueError("nothing to merge")
-    lines_list = [e[0] for e in entries]
-    concs = [float(e[1]) for e in entries]
-    for c in concs:
-        if not (0.0 <= c <= 1.0):
-            raise ValueError(f"gas molar concentration must be in [0,1], not {c}")
-
     # pad TIPS tables to a common polynomial order, then stack
     ncheb = max(np.asarray(l.tips_coeffs).shape[1] for l in lines_list)
     tips_rows = []
     ptr_off = 0
-    nus, nu_los, Ss, gas_, gss, Epps, nas, mus, As, isos, ptrs, cs = (
+    nus, nu_los, Ss, gas_, gss, Epps, nas, mus, As, isos, ptrs, mols = (
         [] for _ in range(12)
     )
-    for l, c in zip(lines_list, concs):
+    for m, l in enumerate(lines_list):
         t = np.asarray(l.tips_coeffs)
         if t.shape[1] < ncheb:
             t = np.pad(t, ((0, 0), (0, ncheb - t.shape[1])))
@@ -64,7 +58,7 @@ def merge_lines(entries) -> tuple[SpectralLines, jnp.ndarray]:
         As.append(np.asarray(l.A))
         isos.append(np.asarray(l.iso))
         ptrs.append(np.asarray(l.iso_ptr) + ptr_off)
-        cs.append(np.full(l.n_lines, c))
+        mols.append(np.full(l.n_lines, m, dtype=np.int32))
         ptr_off += t.shape[0]
 
     nu = np.concatenate(nus)
@@ -87,4 +81,21 @@ def merge_lines(entries) -> tuple[SpectralLines, jnp.ndarray]:
         formula="+".join(l.formula for l in lines_list),
         M=0,
     )
-    return merged, f(np.concatenate(cs)[order])
+    return merged, f(np.concatenate(mols)[order])
+
+
+def merge_lines(entries) -> tuple[SpectralLines, jnp.ndarray]:
+    """Merge [(SpectralLines, concentration), ...] with FIXED scalar
+    concentrations folded per line.
+
+    Returns (merged_lines, conc[n_lines]). For temperature/pressure-dependent
+    concentrations use :func:`merge_catalogs` + per-molecule fC gathers
+    (``MultiGas`` does this automatically when given callables).
+    """
+    lines_list = [e[0] for e in entries]
+    concs = [float(e[1]) for e in entries]
+    for c in concs:
+        if not (0.0 <= c <= 1.0):
+            raise ValueError(f"gas molar concentration must be in [0,1], not {c}")
+    merged, mol_ptr = merge_catalogs(lines_list)
+    return merged, jnp.asarray(np.asarray(concs)[np.asarray(mol_ptr)])

@@ -58,6 +58,47 @@ def test_reconcentrate_swaps_closure(baked):
     )
 
 
+def test_f32_bake_accuracy_bound(fixtures_dir):
+    """Tables baked through the float32 kernel pipeline vs the f64 oracle.
+
+    A TPU bake runs the f32 Pallas kernel (VERDICT weak #7): the interpolation
+    -error harness must hold against an exact f64 line sum within the ~1%
+    domain guidance (ref gases.jl:7) plus the kernel's own f32 noise. The
+    measured bound is recorded in BASELINE.md.
+    """
+    from clearsky_tpu.absorption.gas import bake_sigma_grid, opacity_error
+    from clearsky_tpu.spectra.lines import SpectralLines
+
+    nu = np.linspace(640.0, 680.0, 48)
+    domain = AtmosphericDomain.create((150.0, 350.0), 12, (10.0, 1e5), 24)
+    lines = SpectralLines.from_par(f"{fixtures_dir}/CO2.par", maxlines=150)
+
+    sig64 = bake_sigma_grid(lines, 400e-6, nu, domain, backend="oracle")
+    sig32 = bake_sigma_grid(lines, 400e-6, nu, domain, backend="kernel_f32")
+    # kernel-vs-oracle at the bake nodes: pure f32 pipeline noise
+    m = sig64 > sig64.max() * 1e-12
+    node_rel = np.abs(sig32[m] - sig64[m]) / sig64[m]
+    assert node_rel.max() < 2e-3, node_rel.max()
+
+    # full harness: f32-baked table vs exact f64 line sum on a dense T x P grid
+    from clearsky_tpu.absorption.gas import Gas, _ln_sigma_coeffs
+    import jax.numpy as jnp_
+
+    gas32 = Gas(
+        nu=jnp_.asarray(nu),
+        coeffs=jnp_.asarray(_ln_sigma_coeffs(sig32, domain)),
+        name=lines.name,
+        formula=lines.formula,
+        mu=lines.mean_molar_mass,
+        domain=domain,
+        fC=lambda T, P: jnp_.full(jnp_.shape(jnp_.asarray(T) * jnp_.asarray(P)), 400e-6),
+    )
+    iv = int(np.argmax(sig64.max(axis=(0, 1))))  # strongest wavenumber
+    _, _, _, rerr = opacity_error(gas32, lines, iv, N=30)
+    # reference guidance: ~1% max at 12x24 nodes; f32 noise adds ~0.1%
+    assert np.nanmax(np.abs(rerr)) < 0.02, np.nanmax(np.abs(rerr))
+
+
 def test_profiling_cost_model():
     from clearsky_tpu.ops.linesum import build_line_window_plan
     from clearsky_tpu.utils.profiling import linesum_cost, speed_of_light_report

@@ -49,3 +49,44 @@ def test_merge_rejects_bad_concentration(catalogs):
     co2, _ = catalogs
     with pytest.raises(ValueError, match="concentration"):
         merge_lines([(co2, 1.5)])
+
+
+def test_multigas_variable_concentration_matches_split(catalogs):
+    """fC(T, P) generality in the fused path (ref gases.jl:278): per-line
+    concentrations gathered from per-molecule fC feed both the intensity
+    scaling and the self-broadening partial pressure."""
+    co2, h2o = catalogs
+    nu = np.linspace(200.0, 2000.0, 1024)
+
+    def fC_h2o(T, P):  # condensible-like: falls off with cold temperatures
+        return 1e-2 * jnp.exp(-((280.0 - jnp.asarray(T)) / 60.0) ** 2)
+
+    g_multi = MultiGas.from_lines([(co2, 4e-4), (h2o, fC_h2o)], nu)
+    assert g_multi.mol_ptr is not None and len(g_multi.fCs) == 2
+    g_co2 = DirectGas.from_lines(co2, 4e-4, nu)
+    g_h2o = DirectGas.from_lines(h2o, fC_h2o, nu)
+    T = jnp.asarray([230.0, 290.0])
+    P = jnp.asarray([1e3, 9e4])
+    fused = np.asarray(g_multi(T, P))
+    split = np.asarray(g_co2(T, P)) + np.asarray(g_h2o(T, P))
+    m = split > 0
+    np.testing.assert_allclose(fused[m], split[m], rtol=1e-10)
+
+
+def test_sharded_multigas_variable_concentration(catalogs):
+    """The nu-sharded fused path with per-molecule fC(T, P)."""
+    from clearsky_tpu.absorption.sharded import shard_line_gas
+
+    co2, h2o = catalogs
+    nu = np.linspace(200.0, 2000.0, 1024)
+
+    def fC_h2o(T, P):
+        return 1e-2 * jnp.exp(-((280.0 - jnp.asarray(T)) / 60.0) ** 2)
+
+    g_multi = MultiGas.from_lines([(co2, 4e-4), (h2o, fC_h2o)], nu)
+    sg = shard_line_gas(g_multi, 8)
+    T = jnp.asarray([230.0, 290.0])
+    P = jnp.asarray([1e3, 9e4])
+    ref = np.asarray(g_multi.raw_sigma(T, P))
+    got = np.asarray(sg.raw_sigma(T, P))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=ref.max() * 1e-15)
