@@ -324,20 +324,36 @@ def run(
     return out, recs
 
 
-def jacobian(rcm: RCM, mode: str = "fwd", eps: float = 1.0):
+def jacobian(rcm: RCM, mode: str = "fwd", eps: float = 1.0,
+             update_sigma: bool = False):
     """Jacobian dH/dT [np, np] of the heating rates w.r.t. cell temperatures.
 
     ``mode='fwd'`` differentiates the whole radiation calculation with
     ``jax.jacfwd`` — exact, one compiled program. ``mode='fd'`` reproduces the
     reference's one-sided finite differences with perturbation ``eps``
     (ref radiative_convective.jl:153-171) for parity testing.
+
+    ``update_sigma=True`` additionally differentiates through the absorber
+    refresh — the d(sigma)/dT dependence the reference's Jacobian cannot see
+    (its heating! radiates with frozen cached cross-sections). With a
+    DirectGas/MultiGas this propagates tangents through the Voigt line sum
+    itself: on TPU via the Pallas kernel's custom JVP
+    (``ops.linesum_pallas.sigma_from_lines_pallas_jvp``).
     """
+    lnPe, lnP = jnp.log(rcm.Pe), jnp.log(rcm.P)
+
+    def H_of_T(T):
+        if update_sigma:
+            A = rcm.A.update(interp_linear(lnPe, lnP, T))
+            return heating(rcm, T, A)
+        return heating(rcm, T)
+
     if mode == "fwd":
-        return jax.jacfwd(lambda T: heating(rcm, T))(rcm.T)
+        return jax.jacfwd(H_of_T)(rcm.T)
     if mode == "fd":
-        H0 = heating(rcm)
+        H0 = H_of_T(rcm.T)
         n = rcm.n_cells
         eye = jnp.eye(n, dtype=rcm.T.dtype)
-        cols = jax.vmap(lambda v: (heating(rcm, rcm.T + eps * v) - H0) / eps)(eye)
+        cols = jax.vmap(lambda v: (H_of_T(rcm.T + eps * v) - H0) / eps)(eye)
         return cols.T
     raise ValueError("mode must be 'fwd' or 'fd'")

@@ -15,6 +15,7 @@ from ..constants import (
     K_BOLTZ,
     SIGMA_SB,
     N_AVOGADRO,
+    C2_RADIATION,
 )
 
 __all__ = [
@@ -83,9 +84,15 @@ def planck(nu, T):
     overflows e^x to inf for large x, which is fine for the value (-> 0) but
     poisons jax derivatives with inf/inf = NaN (the Jacobian of the RCM
     heating flows through here via ``jax.jacfwd``).
+
+    The exponent is formed as ``C2 * nu / T`` with the radiation constant
+    pre-folded (hc/k as one python scalar): spelling it ``h c nu/(k T)``
+    builds the float32 intermediate ``(kT) ~ 2e-21`` whose square in the
+    division JVP underflows to 0 and NaNs every tangent on TPU (f32-only —
+    invisible to the f64 CPU suite).
     """
     nu_m = 100.0 * nu
-    x = H_PLANCK * C_LIGHT * nu_m / (K_BOLTZ * T)
+    x = C2_RADIATION * nu / T  # = h c nu_m / (k T), folded constant
     p = 2.0 * H_PLANCK * C_LIGHT**2 * nu_m**3
     em = jnp.exp(-x)
     return 100.0 * p * em / (-jnp.expm1(-x))
@@ -97,14 +104,19 @@ def normplanck(nu, T):
 
 
 def dplanck(nu, T):
-    """dB/dT [W/m^2/cm^-1/sr/K], with overflow guard. Ref radiation.jl:78-88."""
+    """dB/dT [W/m^2/cm^-1/sr/K], with overflow guard. Ref radiation.jl:78-88.
+
+    Formed as ``planck-prefactor * (x/T) * e^{-x}/(1-e^{-x})^2``: the naive
+    prefactor ``2 h^2 c^3`` is 2.35e-41 — zero in float32 — so the f32 path
+    must never materialize it (see the same hazard note in :func:`planck`).
+    """
     nu_m = 100.0 * nu
-    x = H_PLANCK * C_LIGHT * nu_m / (K_BOLTZ * T)
+    x = C2_RADIATION * nu / T
     # guard: for huge x, exp overflows; y/(y-1)^2 -> 0. Compute in a stable form:
     # y/(y-1)^2 = exp(-x) / (1 - exp(-x))^2
     em = jnp.exp(-x)
     frac = em / jnp.square(-jnp.expm1(-x))
-    p = 2.0 * H_PLANCK**2 * C_LIGHT**3 * nu_m**4 / (K_BOLTZ * T**2)
+    p = (2.0 * H_PLANCK * C_LIGHT**2 * nu_m**3) * (x / T)
     return 100.0 * p * frac
 
 

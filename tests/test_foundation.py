@@ -160,3 +160,28 @@ def test_logrange_endpoints():
     r = logrange(1.0, 10.0, 11, 2.0)
     assert r[0] == pytest.approx(1.0)
     assert r[-1] == pytest.approx(10.0)
+
+
+def test_planck_jvp_float32_finite():
+    """float32 Planck derivatives must be finite everywhere (TPU regression).
+
+    The exponent must be formed as C2*nu/T with the radiation constant
+    pre-folded: spelling it h*c*nu/(k*T) creates the f32 intermediate
+    (kT)~2e-21 whose square underflows to 0 inside the division JVP and NaNs
+    every tangent of the RCM Jacobian on TPU (found on hardware; invisible in
+    this f64 suite without the explicit f32 cast below).
+    """
+    import jax
+
+    nu = jnp.asarray(np.linspace(1.0, 20000.0, 512), jnp.float32)
+    T = jnp.asarray(np.linspace(100.0, 400.0, 16), jnp.float32)
+    out, tang = jax.jvp(
+        lambda t: rad.planck(nu[None, :], t[:, None]), (T,), (jnp.ones_like(T),)
+    )
+    assert bool(jnp.isfinite(out).all())
+    assert bool(jnp.isfinite(tang).all())
+    # the tangent IS dB/dT: must agree with the closed-form dplanck
+    dp = rad.dplanck(nu[None, :], T[:, None])
+    assert bool(jnp.isfinite(dp).all())
+    scale = float(jnp.abs(dp).max())
+    assert float(jnp.abs(tang - dp).max()) / scale < 1e-5

@@ -100,6 +100,58 @@ def test_jacobian_fwd_vs_fd():
     np.testing.assert_allclose(J_fwd, J_fd, rtol=2e-3, atol=1e-11)
 
 
+def _lbl_rcm(fixtures_dir, table=False, nnu=256, maxlines=60, n_levels=10):
+    """Small line-by-line RCM (DirectGas or baked-table Gas) on the CO2 fixture."""
+    from clearsky_tpu.spectra.lines import SpectralLines
+    from clearsky_tpu.absorption.gas import DirectGas, Gas
+    from clearsky_tpu.absorption.domain import AtmosphericDomain
+
+    lines = SpectralLines.from_par(f"{fixtures_dir}/CO2.par", maxlines=maxlines)
+    nu_l = np.asarray(lines.nu)
+    nu = np.linspace(max(nu_l.min() - 25.0, 1.0), nu_l.max() + 25.0, nnu)
+    if table:
+        dom = AtmosphericDomain.create((120.0, 350.0), 8, (1.0, 2e5), 12)
+        gas = Gas.from_lines(lines, 0.9, nu, dom)
+    else:
+        gas = DirectGas.from_lines(lines, 0.9, nu)
+    Pe = pressuregrid(PT, PS, n_levels)
+    Te = np.maximum(280.0 * (Pe / PS) ** (R_GAS / (0.044 * 850.0)), 150.0)
+    return rcm_mod.RCM.create(
+        Pe, Te, G, lambda T, P: 0.044, 0.0, 0.0, lambda T, P: 850.0, 1e7, gas
+    )
+
+
+def test_jacobian_fwd_vs_fd_directgas(fixtures_dir):
+    """Exact Jacobian through the flagship line-by-line absorber (VERDICT #2).
+
+    The reference's jacobian! works with any absorber
+    (ref radiative_convective.jl:153-171); here jax.jacfwd differentiates
+    through the full Voigt line sum (on TPU via the kernel's custom JVP,
+    on CPU via the jnp oracle directly).
+    """
+    r = _lbl_rcm(fixtures_dir)
+    n = r.n_cells
+    J_fwd = np.asarray(rcm_mod.jacobian(r, mode="fwd", update_sigma=True))
+    J_fd = np.asarray(rcm_mod.jacobian(r, mode="fd", eps=1e-3, update_sigma=True))
+    assert J_fwd.shape == (n, n)
+    assert np.all(np.isfinite(J_fwd))
+    assert np.all(np.diag(J_fwd) < 0)
+    scale = np.abs(J_fd).max()
+    np.testing.assert_allclose(J_fwd, J_fd, rtol=5e-3, atol=5e-6 * scale)
+
+
+def test_jacobian_fwd_vs_fd_table_gas(fixtures_dir):
+    """jacfwd through the baked-table (MXU Chebyshev contraction) absorber."""
+    r = _lbl_rcm(fixtures_dir, table=True)
+    n = r.n_cells
+    J_fwd = np.asarray(rcm_mod.jacobian(r, mode="fwd", update_sigma=True))
+    J_fd = np.asarray(rcm_mod.jacobian(r, mode="fd", eps=1e-3, update_sigma=True))
+    assert np.all(np.isfinite(J_fwd))
+    assert np.all(np.diag(J_fwd) < 0)
+    scale = np.abs(J_fd).max()
+    np.testing.assert_allclose(J_fwd, J_fd, rtol=5e-3, atol=5e-6 * scale)
+
+
 def test_update_absorber_and_run_loop():
     r = make_rcm(nnu=150)
     r2 = rcm_mod.update_absorber(r)  # gray gas: sigma unchanged
