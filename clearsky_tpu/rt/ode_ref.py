@@ -21,7 +21,13 @@ from ..constants import N_AVOGADRO
 from ..ops.planck import planck
 from ..utils.quadrature import stream_nodes
 
-__all__ = ["ode_outgoing", "ode_optical_depth"]
+__all__ = [
+    "ode_outgoing",
+    "ode_optical_depth",
+    "ode_monoflux",
+    "ode_heating",
+    "ode_run",
+]
 
 
 def _sigma_at(A, T, P):
@@ -29,6 +35,36 @@ def _sigma_at(A, T, P):
     import jax.numpy as jnp
 
     return np.asarray(A.sigma(jnp.asarray(T), jnp.asarray(P)))
+
+
+def _np_interp_extrap(x, xp, fp):
+    """numpy linear interpolation with edge-cell extrapolation — the semantics
+    of ``utils.interp.interp_linear`` (np.interp clamps, which would bias the
+    TOA cell where the refined grid reaches above the top cell center)."""
+    x = np.asarray(x)
+    i = np.clip(np.searchsorted(xp, x, side="right") - 1, 0, len(xp) - 2)
+    t = (x - xp[i]) / (xp[i + 1] - xp[i])
+    return fp[i] + t * (fp[i + 1] - fp[i])
+
+
+def _np_sigma_accel(A):
+    """Pure-numpy sigma(P) evaluator for an AcceleratedAbsorber.
+
+    Reproduces ``AcceleratedAbsorber.sigma`` (linear in lnP on cached log
+    cross-sections, edge-cell extrapolation) without jax dispatch, so scipy
+    RHS callbacks run at numpy speed.
+    """
+    lnP = np.asarray(A.lnP)
+    ln_sigma = np.asarray(A.ln_sigma)  # [np_col, n_nu]
+    n = len(lnP)
+
+    def sigma(P):
+        x = np.log(P)
+        i = int(np.clip(np.searchsorted(lnP, x, side="right") - 1, 0, n - 2))
+        t = (x - lnP[i]) / (lnP[i + 1] - lnP[i])
+        return np.exp(ln_sigma[i] + t * (ln_sigma[i + 1] - ln_sigma[i]))
+
+    return sigma
 
 
 def ode_outgoing(
@@ -85,6 +121,186 @@ def ode_outgoing(
             raise RuntimeError(f"reference ODE integration failed: {sol.message}")
         out += W[k] * sol.y[:, -1]
     return out
+
+
+def ode_monoflux(
+    P_grid,
+    g,
+    fT,
+    fmu,
+    A,
+    S_nu=None,
+    albedo_nu=0.0,
+    theta_s: float = 0.841,
+    nstream: int = 5,
+    rtol: float = 1e-8,
+    atol: float = 1e-10,
+    sigma_of_P=None,
+):
+    """Monochromatic up/down fluxes [n_levels, n_nu] by adaptive integration.
+
+    The validation counterpart of the production ``rt.discretized.monoflux``
+    (and of the reference's adaptive ``𝓇monoflux!``, ref radau.jl:211-271):
+    per-stream Schwarzschild ODEs integrated adaptively in sqrt-P coordinates
+    with dense output at ``P_grid`` — downward atmospheric emission, direct
+    stellar beam attenuated by exp(-tau/cos theta_s), Lambertian surface
+    reflection + surface Planck, upward streams.
+
+    ``sigma_of_P`` optionally supplies a numpy sigma(P) -> [n_nu] evaluator
+    (e.g. :func:`_np_sigma_accel` for cached absorbers); otherwise the stack
+    is queried through jax per RHS evaluation (slow).
+    """
+    nu = np.asarray(A.nu)
+    n_nu = len(nu)
+    P_grid = np.asarray(P_grid, dtype=np.float64)
+    m, W = stream_nodes(nstream)
+    sig = sigma_of_P if sigma_of_P is not None else (lambda P: _sigma_at(A, fT(P), P))
+
+    def beta_of(P):
+        T = float(np.asarray(fT(P)))
+        mu = float(np.asarray(fmu(T, P)))
+        return 1e-4 * sig(P) * N_AVOGADRO / (mu * g), T
+
+    # --- downward streams in iota = +sqrt(P), integrated top -> surface ---
+    iota = np.sqrt(P_grid)
+    w_top, w_surf = iota[0], iota[-1]
+
+    def rhs_down_factory(mk):
+        def rhs(w, I):
+            P = w * w
+            beta, T = beta_of(P)
+            B = np.asarray(planck(nu, T))
+            return mk * beta * (2.0 * w) * (B - I)
+
+        return rhs
+
+    M_down = np.zeros((len(P_grid), n_nu))
+    for k in range(len(m)):
+        sol = solve_ivp(
+            rhs_down_factory(float(m[k])),
+            (w_top, w_surf),
+            np.zeros(n_nu),
+            method="Radau",
+            t_eval=iota,
+            rtol=rtol,
+            atol=atol,
+        )
+        if not sol.success:  # pragma: no cover - diagnostics
+            raise RuntimeError(f"down-stream integration failed: {sol.message}")
+        M_down += W[k] * sol.y.T
+
+    # --- direct stellar beam: tau(P) by adaptive integration, then exp decay ---
+    if S_nu is not None and np.any(np.asarray(S_nu) != 0.0):
+        c = np.cos(theta_s)
+
+        def rhs_tau(w, tau):
+            P = w * w
+            beta, _ = beta_of(P)
+            return beta * (2.0 * w)
+
+        sol = solve_ivp(
+            rhs_tau, (w_top, w_surf), np.zeros(n_nu),
+            method="Radau", t_eval=iota, rtol=rtol, atol=atol,
+        )
+        if not sol.success:  # pragma: no cover
+            raise RuntimeError(f"beam tau integration failed: {sol.message}")
+        M_down += (c * np.asarray(S_nu))[None, :] * np.exp(-sol.y.T / c)
+
+    # --- upward streams in omega = -sqrt(P), from the Lambertian surface ---
+    Ts = float(np.asarray(fT(P_grid[-1])))
+    B_surf = np.asarray(planck(nu, Ts))
+    I_surf = M_down[-1] * np.asarray(albedo_nu) / np.pi + B_surf
+    omega = -np.sqrt(P_grid)[::-1]  # ascending: -sqrt(Ps) ... -sqrt(Ptop)
+
+    def rhs_up_factory(mk):
+        def rhs(w, I):
+            P = w * w
+            beta, T = beta_of(P)
+            B = np.asarray(planck(nu, T))
+            return mk * beta * (2.0 * w) * (I - B)
+
+        return rhs
+
+    M_up = np.zeros((len(P_grid), n_nu))
+    for k in range(len(m)):
+        sol = solve_ivp(
+            rhs_up_factory(float(m[k])),
+            (omega[0], omega[-1]),
+            I_surf.copy(),
+            method="Radau",
+            t_eval=omega,
+            rtol=rtol,
+            atol=atol,
+        )
+        if not sol.success:  # pragma: no cover
+            raise RuntimeError(f"up-stream integration failed: {sol.message}")
+        M_up += W[k] * sol.y.T[::-1]
+    # the surface level emits pi*I_surf (hemispherically integrated), matching
+    # the production march's boundary value
+    M_up[-1] = np.pi * I_surf
+    return M_up, M_down
+
+
+def ode_heating(rcm, T=None, A=None, **kwargs):
+    """Heating rates H [np] for an RCM state via the adaptive flux oracle.
+
+    Mirrors ``models.rcm.heating`` (ref radiative_convective.jl:108-144) with
+    the scipy fluxes of :func:`ode_monoflux` in place of the discretized core:
+    radiate on the refined grid, interpolate net flux to the edges with the
+    sign flip, convert flux divergence to heating.
+    """
+    import jax.numpy as jnp
+
+    T = np.asarray(rcm.T if T is None else T, dtype=np.float64)
+    A = rcm.A if A is None else A
+    nu = np.asarray(rcm.nu)
+    lnP = np.log(np.asarray(rcm.P))
+
+    def fT(P):
+        return _np_interp_extrap(np.log(P), lnP, T)
+
+    Pr = np.asarray(rcm.Pr)
+    M_up, M_down = ode_monoflux(
+        Pr, rcm.g, fT, rcm.fmu, A,
+        S_nu=np.asarray(rcm.S_nu), albedo_nu=np.asarray(rcm.a_nu),
+        theta_s=rcm.theta_s, sigma_of_P=_np_sigma_accel(A), **kwargs,
+    )
+    F_net = np.trapezoid(M_up - M_down, nu, axis=-1)
+    lnPe = np.log(np.asarray(rcm.Pe))
+    R = -_np_interp_extrap(lnPe, np.log(Pr), F_net)
+    cp = np.asarray(jnp.asarray(rcm.fcp(jnp.asarray(T[:-1]), rcm.P[:-1])))
+    cp = np.broadcast_to(cp, T[:-1].shape)
+    dP = np.asarray(rcm.Pe)[1:] - np.asarray(rcm.Pe)[:-1]
+    H_cells = (rcm.g / cp) * (R[:-1] - R[1:]) / dP
+    return np.concatenate([H_cells, [R[-1] / rcm.cs]])
+
+
+def ode_run(rcm, dt, nsteps: int, update_every: int = 0, **kwargs):
+    """RCE trajectory by explicit Euler on the adaptive-flux heating oracle.
+
+    The practical stand-in for the BASELINE "1000-step allclose vs the
+    reference" criterion (no Julia runtime in this environment): an
+    independent adaptive integrator drives the same composed loop as
+    ``models.rcm.run`` — step, then refresh cached cross-sections every
+    ``update_every`` steps (ref radiative_convective.jl:146-151 + the
+    user-loop contract of SURVEY.md §3.4). Returns the temperature
+    trajectory array [nsteps, np].
+    """
+    import jax.numpy as jnp
+
+    T = np.asarray(rcm.T, dtype=np.float64)
+    A = rcm.A
+    lnPe = np.log(np.asarray(rcm.Pe))
+    lnP = np.log(np.asarray(rcm.P))
+    traj = np.zeros((nsteps, len(T)))
+    for i in range(nsteps):
+        H = ode_heating(rcm, T, A, **kwargs)
+        T = T + dt * H
+        if update_every and (i + 1) % update_every == 0:
+            Te = _np_interp_extrap(lnPe, lnP, T)
+            A = A.update(jnp.asarray(Te))
+        traj[i] = T
+    return traj
 
 
 def ode_optical_depth(

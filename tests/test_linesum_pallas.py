@@ -22,7 +22,8 @@ def co2(fixtures_dir):
 
 
 @pytest.mark.parametrize("shape,cut", [("voigt", 25.0), ("lorentz", 25.0), ("doppler", 25.0)])
-def test_pallas_matches_f64_oracle(co2, shape, cut):
+@pytest.mark.parametrize("strategy", ["auto", "grouped"])
+def test_pallas_matches_f64_oracle(co2, shape, cut, strategy):
     nu = np.linspace(610.0, 780.0, 512)
     plan = build_line_window_plan(nu, np.asarray(co2.nu), cut, block=128)
     T = jnp.asarray([220.0, 300.0])
@@ -30,7 +31,9 @@ def test_pallas_matches_f64_oracle(co2, shape, cut):
     Pp = 0.5 * P
     ref = np.asarray(sigma_from_lines(plan, co2, T, P, Pp, shape))  # float64
     out = np.asarray(
-        sigma_from_lines_pallas(plan, co2, T, P, Pp, shape, interpret=True)
+        sigma_from_lines_pallas(
+            plan, co2, T, P, Pp, shape, interpret=True, strategy=strategy
+        )
     )
     m = np.abs(ref) > 1e-35
     assert out.shape == ref.shape
