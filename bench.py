@@ -5,6 +5,8 @@ sigma[n_states, n_nu] from the CO2 HITRAN fixture with the block-banded
 line-sum kernel (the TPU inversion of ClearSky.jl's ``surf!`` moving-window
 sweep, ref line_shapes.jl:53-87). One line-eval = one TIPS-scaled Voigt
 profile evaluation (Faddeeva + scaling arithmetic) accumulated into the grid.
+The kernel's default strategy is the sublane-grouped resident variant
+(8-line work granularity; see ops/linesum_pallas.py).
 
 The reference publishes no numbers (BASELINE.md), so the baseline is
 self-established: the same physics as a vectorized numpy + scipy.special.wofz

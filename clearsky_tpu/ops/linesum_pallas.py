@@ -90,10 +90,12 @@ def _kernel(shape, slab_pad, cut, n_states, nu_b_ref, nu_b_lo_ref, nul_ref,
     the program count (and per-program pipeline overhead) by n_states.
     """
     B = nu_b_ref.shape[-1]
-    # layout note: grid points on sublanes, the line chunk on lanes. The
-    # alternative (lines on sublanes, sublane-axis reduce) was measured 34%
-    # slower — the per-chunk lane->sublane relayouts of the parameter rows
-    # cost more than the lane reduction saves.
+    # layout note: grid points on sublanes, the line chunk on lanes. A naive
+    # lines-on-sublanes variant (per-group lane->sublane relayouts of the
+    # parameter rows) measured 34% slower; _kernel_resident_grouped gets that
+    # orientation's 16x finer work granularity WITHOUT the per-group relayout
+    # cost by transposing one packed parameter matrix per chunk through a
+    # scratch ref — it is the default resident strategy (4.95x this one).
     nu_b = nu_b_ref[0, 0, :].reshape(B, 1)
     nu_b_lo = nu_b_lo_ref[0, 0, :].reshape(B, 1)
     cnt = cnt_ref[pl.program_id(0), 0]
@@ -171,7 +173,7 @@ def _kernel_resident(shape, cut, n_states, nu_b_ref, nu_b_lo_ref, nul_ref,
 
 def _kernel_resident_grouped(shape, cut, n_states, n_params, nu_b_ref,
                              nu_b_lo_ref, Pk_ref, start_ref, cnt_ref, T_ref,
-                             out_ref):
+                             out_ref, Pt_ref):
     """Sublane-grouped resident variant: points on LANES, 8-line groups on
     SUBLANES.
 
@@ -196,38 +198,43 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, nu_b_ref,
     start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     off = start - start_al              # < CHUNK
     end = off + cnt                     # last local line (exclusive)
-    acc0 = jnp.zeros((n_states, B), jnp.float32)
+    # per-state accumulators as a tuple carry: .at[...].add on a stacked
+    # array lowers to scatter-add, which Mosaic does not implement
+    acc0 = tuple(jnp.zeros((1, B), jnp.float32) for _ in range(n_states))
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
     def chunk_body(c, acc):
         o = pl.multiple_of(start_al + c * CHUNK, CHUNK)
-        Pt = Pk_ref[:, pl.ds(o, CHUNK)].T      # [CHUNK, n_params], one relayout
+        # one relayout per chunk, staged through a scratch ref so the group
+        # loop below can take 8-aligned dynamic sublane slices (Mosaic lowers
+        # pl.ds on refs; dynamic_slice on values is unimplemented)
+        Pt_ref[:, :] = Pk_ref[:, pl.ds(o, CHUNK)].T  # [CHUNK, n_params]
         g_lo = jnp.maximum(0, (off - c * CHUNK)) // 8
         g_hi = jnp.minimum(CHUNK // 8, (end - c * CHUNK + 7) // 8)
 
         def group_body(g, acc):
-            rows = jax.lax.dynamic_slice_in_dim(   # [8, n_params], 8-aligned
-                Pt, pl.multiple_of(g * 8, 8), 8, axis=0
-            )
+            rows = Pt_ref[pl.ds(pl.multiple_of(g * 8, 8), 8), :]  # [8, n_params]
             nul = rows[:, 0:1]
             nul_lo = rows[:, 1:2]
             dnu = (nu_b - nul) + (nu_b_lo - nul_lo)   # [8, B] two-float
             local = c * CHUNK + g * 8 + iota8
             mask = (local < end) & (jnp.abs(dnu) <= cut)
+            new = []
             for st in range(n_states):         # static unroll
                 S = rows[:, 2 + 3 * st : 3 + 3 * st]
                 al = rows[:, 3 + 3 * st : 4 + 3 * st]
                 ga = rows[:, 4 + 3 * st : 5 + 3 * st]
                 f = _profile_tile(shape, dnu, S, al, ga, T_ref[st, 0])
                 contrib = jnp.sum(jnp.where(mask, f, 0.0), axis=0).reshape(1, B)
-                acc = acc.at[st : st + 1, :].add(contrib)
-            return acc
+                new.append(acc[st] + contrib)
+            return tuple(new)
 
         return jax.lax.fori_loop(g_lo, g_hi, group_body, acc)
 
     nchunks = (end + CHUNK - 1) // CHUNK
     acc = jax.lax.fori_loop(0, nchunks, chunk_body, acc0)
-    out_ref[:, 0, 0, :] = acc
+    for st in range(n_states):
+        out_ref[st, 0, 0, :] = acc[st][0, :]
 
 
 # VMEM budget for keeping the whole line catalog resident (bytes); beyond
@@ -271,7 +278,12 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
 
     n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
     resident_bytes = (3 * n_states + 1) * n_lines_pad * 4
-    if strategy == "grouped" and resident_bytes <= _RESIDENT_VMEM_LIMIT:
+    # the sublane-grouped kernel is the default resident strategy: measured
+    # 4.95x the lane-major kernel on the CO2 bench config (8.05e9 vs 1.63e9
+    # useful evals/s/chip) — per-block work is ceil(cnt/8)*8 lines instead of
+    # ceil(cnt/128)*128, and sparse spectral regions dominate real catalogs.
+    # strategy='lane' keeps the lane-major variant for A/B comparisons.
+    if strategy in ("auto", "grouped") and resident_bytes <= _RESIDENT_VMEM_LIMIT:
         pad_n = n_lines_pad - n_lines
         nul_full = jnp.concatenate([nu_l, jnp.full((pad_n,), 1e30, jnp.float32)])[None, :]
         nul_lo_full = jnp.concatenate([nu_l_lo, jnp.zeros((pad_n,), jnp.float32)])[None, :]
@@ -306,6 +318,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
                     (n_states, 1, 1, B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
                 ),
                 out_shape=jax.ShapeDtypeStruct((n_states, seg, 1, B), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((CHUNK, n_params), jnp.float32)],
                 interpret=interpret,
             )(
                 nu_blocks[a:b], nu_blocks_lo[a:b], Pk,
@@ -315,7 +328,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
         full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
         return full[:, :n_nu]
 
-    if resident_bytes <= _RESIDENT_VMEM_LIMIT:
+    if strategy == "lane" and resident_bytes <= _RESIDENT_VMEM_LIMIT:
         # pad with far-away line positions (window mask kills them) and zero
         # strengths so out-of-range dynamic slices read inert data
         pad_n = n_lines_pad - n_lines

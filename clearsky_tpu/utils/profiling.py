@@ -59,13 +59,15 @@ class KernelCost:
         return self.flops / max(self.bytes_moved, 1.0)
 
 
-def linesum_cost(plan, n_states: int, chunk: int = 128, dtype_bytes: int = 4) -> KernelCost:
+def linesum_cost(plan, n_states: int, chunk: int = 8, dtype_bytes: int = 4) -> KernelCost:
     """Cost model of ``sigma_from_lines_pallas`` for a given banding plan.
 
     Dense work walks ceil(count/chunk)*chunk lines per block (dynamic trip
-    count); useful work is the in-window pair count. Bytes: the gathered
-    per-block line slabs (4 arrays) x states for (S, alpha, gamma) + shared
-    line positions + the output stripe.
+    count); useful work is the in-window pair count. ``chunk`` is the line
+    granularity: 8 for the default sublane-grouped strategy, 128 for the
+    lane-major variants. Bytes: the gathered per-block line slabs (4 arrays)
+    x states for (S, alpha, gamma) + shared line positions + the output
+    stripe.
     """
     counts = np.asarray(plan.count, dtype=np.int64)
     walked = np.ceil(counts / chunk).astype(np.int64) * chunk
