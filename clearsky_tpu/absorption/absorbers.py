@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.interp import interp_linear
-from .gas import AbstractGas, Gas, DirectGas
+from .gas import AbstractGas, Gas, DirectGas, MultiGas
 from .cia import CIATables, BoundCIA, CIA
 
 __all__ = [
@@ -84,6 +84,12 @@ class AbsorberStack:
             if not np.array_equal(np.asarray(g.nu), nu0):
                 raise ValueError("gases must have identical wavenumber vectors")
         realgases = tuple(g for g in gases if isinstance(g, (Gas, DirectGas)))
+        # fused mixtures expose per-molecule component views so CIA pairing
+        # by formula works through a MultiGas (ref absorbers.jl:69 pairing
+        # semantics preserved at single-molecule granularity)
+        for g in gases:
+            if isinstance(g, MultiGas):
+                realgases = realgases + g.components()
         cias = []
         for c in raw_cias:
             bound = c.bind(nu0) if isinstance(c, CIATables) else c

@@ -261,7 +261,17 @@ class CIA:
 
     @classmethod
     def pair(cls, tables: BoundCIA, gases) -> "CIA":
-        """Auto-pair a CIA table with the matching gases. Ref :445-463."""
+        """Auto-pair a CIA table with the matching gases. Ref :445-463.
+
+        Only the paired gases' formulae and concentration functions are
+        needed (the amagat conversion, ref :295-303), so the pair stores
+        lightweight :class:`~.gas.GasComponent` views — fused ``MultiGas``
+        mixtures expose their per-molecule components the same way, and the
+        spectral-sharding tree rewrite never duplicates line catalogs into
+        CIA pairs.
+        """
+        from .gas import GasComponent
+
         f1, f2 = tables.formulae
 
         def find(f):
@@ -270,7 +280,12 @@ class CIA:
                 raise ValueError(f"pairing failed for {tables.name} CIA, gas {f} missing")
             if len(matches) > 1:
                 raise ValueError(f"pairing failed for {tables.name} CIA, duplicate {f}")
-            return matches[0]
+            g = matches[0]
+            if isinstance(g, GasComponent):
+                return g
+            return GasComponent(
+                formula=g.formula, name=getattr(g, "name", g.formula), fC=g.fC
+            )
 
         return cls(tables=tables, g1=find(f1), g2=find(f2), name=tables.name)
 

@@ -443,6 +443,23 @@ def VariableGas(filename, fC, nu, domain, **kwargs) -> Gas:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True, eq=False)
+class GasComponent:
+    """Lightweight per-molecule view of a fused MultiGas: formula +
+    concentration only — exactly what CIA pairing needs (partial pressures
+    come from stored concentration functions, ref
+    collision_induced_absorption.jl:431-465). No spectral data; never
+    evaluated as an absorber."""
+
+    formula: str = dataclasses.field(metadata=dict(static=True), default="")
+    name: str = dataclasses.field(metadata=dict(static=True), default="")
+    fC: Callable = dataclasses.field(metadata=dict(static=True), default=None)
+
+    def concentration(self, T, P):
+        return self.fC(T, P)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, eq=False)
 class MultiGas(AbstractGas):
     """Fused multi-molecule direct gas: one merged catalog, one kernel pass.
 
@@ -457,9 +474,10 @@ class MultiGas(AbstractGas):
     evaluation, feeding both the intensity scaling and the self-broadening
     partial pressure.
 
-    Note: carries a combined formula, so CIA auto-pairing by formula does not
-    match it — pass individual gases alongside (or construct ``CIA`` pairs
-    explicitly) when continua are needed.
+    Carries a combined formula, but CIA auto-pairing still works: pairing
+    matches against the per-molecule :class:`GasComponent` views from
+    :meth:`components` (formula + concentration are all the amagat
+    conversion needs).
     """
 
     lines: object
@@ -469,6 +487,8 @@ class MultiGas(AbstractGas):
     plan: LineWindowPlan = dataclasses.field(metadata=dict(static=True), default=None)
     shape: str = dataclasses.field(metadata=dict(static=True), default="voigt")
     fCs: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    formulas: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    names: tuple = dataclasses.field(metadata=dict(static=True), default=())
     name: str = dataclasses.field(metadata=dict(static=True), default="")
     formula: str = dataclasses.field(metadata=dict(static=True), default="")
     mu: float = dataclasses.field(metadata=dict(static=True), default=float("nan"))
@@ -483,13 +503,13 @@ class MultiGas(AbstractGas):
 
         cut = DEFAULT_CUT[shape] if cut is None else float(cut)
         nu = _check_nu(nu)
+        fCs = tuple(as_concentration(c) for _, c in entries)
         if any(callable(c) for _, c in entries):
             merged, mol_ptr = merge_catalogs([l for l, _ in entries])
             conc = None
-            fCs = tuple(as_concentration(c) for _, c in entries)
         else:
             merged, conc = merge_lines(entries)
-            mol_ptr, fCs = None, ()
+            mol_ptr = None
         plan = build_line_window_plan(nu, np.asarray(merged.nu), cut, block=block)
         return cls(
             lines=merged,
@@ -499,9 +519,18 @@ class MultiGas(AbstractGas):
             plan=plan,
             shape=shape,
             fCs=fCs,
+            formulas=tuple(l.formula for l, _ in entries),
+            names=tuple(l.name for l, _ in entries),
             name=merged.name,
             formula=merged.formula,
             mu=merged.mean_molar_mass,
+        )
+
+    def components(self) -> tuple:
+        """Per-molecule :class:`GasComponent` views (for CIA auto-pairing)."""
+        return tuple(
+            GasComponent(formula=f, name=n, fC=c)
+            for f, n, c in zip(self.formulas, self.names, self.fCs)
         )
 
     def _conc(self, T, P):

@@ -32,8 +32,10 @@ def test_stack_pairs_cia_with_gas(stack):
     A = unify_absorbers((co2, cia))
     assert len(A.cias) == 1
     pair = A.cias[0]
-    # both partners of CO2-CO2 resolve to the same CO2 gas
-    assert pair.g1 is co2 and pair.g2 is co2
+    # both partners of CO2-CO2 resolve to the CO2 gas (stored as lightweight
+    # formula+concentration component views, see CIA.pair)
+    assert pair.g1.formula == "CO2" and pair.g2.formula == "CO2"
+    assert pair.g1.fC is co2.fC and pair.g2.fC is co2.fC
 
 
 def test_cia_increases_sigma_and_depth(stack):

@@ -90,3 +90,28 @@ def test_sharded_multigas_variable_concentration(catalogs):
     ref = np.asarray(g_multi.raw_sigma(T, P))
     got = np.asarray(sg.raw_sigma(T, P))
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=ref.max() * 1e-15)
+
+
+def test_cia_pairs_with_multigas_components(catalogs, fixtures_dir):
+    """CIA auto-pairing works through a fused MultiGas (component views)."""
+    import jax.numpy as jnp
+    from clearsky_tpu.absorption.cia import CIATables
+    from clearsky_tpu.absorption.absorbers import AbsorberStack
+
+    co2, h2o = catalogs
+    nu = np.linspace(200.0, 2000.0, 512)
+    cia = CIATables.from_file(f"{fixtures_dir}/CO2-CO2_2018.cia")
+    mix = MultiGas.from_lines([(co2, 0.7), (h2o, 1e-3)], nu)
+    stack_fused = AbsorberStack.create(mix, cia)
+    assert len(stack_fused.cias) == 1
+    # split construction: same physics
+    g_co2 = DirectGas.from_lines(co2, 0.7, nu)
+    g_h2o = DirectGas.from_lines(h2o, 1e-3, nu)
+    stack_split = AbsorberStack.create(g_co2, g_h2o, cia)
+    T = jnp.asarray([250.0, 300.0])
+    P = jnp.asarray([1e4, 9e4])
+    np.testing.assert_allclose(
+        np.asarray(stack_fused.sigma(T, P)),
+        np.asarray(stack_split.sigma(T, P)),
+        rtol=1e-9,
+    )
