@@ -24,7 +24,14 @@ import jax.numpy as jnp
 from ..absorption.domain import AtmosphericDomain
 from ..absorption.gas import Gas, as_concentration
 
-__all__ = ["save_gas", "load_gas", "save_rcm_state", "load_rcm_state"]
+__all__ = [
+    "save_gas",
+    "load_gas",
+    "save_rcm_state",
+    "load_rcm_state",
+    "save_rcm_orbax",
+    "load_rcm_orbax",
+]
 
 _FORMAT = "clearsky-tpu-gas-v1"
 
@@ -108,3 +115,39 @@ def load_rcm_state(path: str, rcm):
             rcm.A, ln_sigma=jnp.asarray(z["ln_sigma"]), T=jnp.asarray(z["A_T"])
         )
         return dataclasses.replace(rcm, T=jnp.asarray(z["T"]), A=A)
+
+
+def _rcm_state_tree(rcm) -> dict:
+    return {
+        "Pe": rcm.Pe, "P": rcm.P, "T": rcm.T, "Pr": rcm.Pr,
+        "ln_sigma": rcm.A.ln_sigma, "A_T": rcm.A.T, "nu": rcm.nu,
+    }
+
+
+def save_rcm_orbax(path: str, rcm) -> None:
+    """Snapshot the RCE state with orbax (sharding-aware, multi-host safe).
+
+    The orbax backend preserves device shardings and coordinates multi-host
+    writes — the right choice for long sharded integrations; the ``.npz``
+    backend (:func:`save_rcm_state`) stays the portable single-host format.
+    Same skeleton-restore contract: only state arrays are saved.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _rcm_state_tree(rcm))
+
+
+def load_rcm_orbax(path: str, rcm):
+    """Restore an orbax snapshot into an existing RCM skeleton (validated)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path, _rcm_state_tree(rcm))
+    for key in ("Pe", "Pr", "nu"):
+        if not np.allclose(np.asarray(state[key]), np.asarray(getattr(rcm, key))):
+            raise ValueError(f"checkpoint grid '{key}' does not match model")
+    A = dataclasses.replace(
+        rcm.A, ln_sigma=jnp.asarray(state["ln_sigma"]), T=jnp.asarray(state["A_T"])
+    )
+    return dataclasses.replace(rcm, T=jnp.asarray(state["T"]), A=A)

@@ -42,14 +42,20 @@ def test_load_gas_rejects_other_npz(tmp_path):
         load_gas(path)
 
 
-def test_rcm_state_roundtrip(tmp_path):
+def _make_rcm():
     nu = np.linspace(1.0, 2000.0, 128)
     gas = GrayGas.create(5e-27, nu)
     Pe = pressuregrid(10.0, 1e5, 12)
     Te = np.maximum(280.0 * (Pe / 1e5) ** (R_GAS / (0.029 * 1e3)), 150.0)
-    r = rcm_mod.RCM.create(
+    return rcm_mod.RCM.create(
         Pe, Te, 9.8, lambda T, P: 0.029, 0.0, 0.0, lambda T, P: 1e3, 1e7, gas
     )
+
+
+def test_rcm_state_roundtrip(tmp_path):
+    r = _make_rcm()
+    nu = np.asarray(r.nu)
+    gas = r.A.stack.gases[0]
     r2 = rcm_mod.step(r, 600.0)
     path = str(tmp_path / "rce.npz")
     save_rcm_state(path, r2)
@@ -66,3 +72,20 @@ def test_rcm_state_roundtrip(tmp_path):
     )
     with pytest.raises(ValueError, match="does not match"):
         load_rcm_state(path, r_bad)
+
+
+def test_orbax_rcm_roundtrip(tmp_path):
+    """Orbax backend: sharding-aware RCE state snapshot + skeleton restore."""
+    import dataclasses
+    import jax.numpy as jnp
+    from clearsky_tpu.utils.checkpoint import save_rcm_orbax, load_rcm_orbax
+
+    r = _make_rcm()
+    r2 = dataclasses.replace(r, T=r.T * 1.05)
+    path = str(tmp_path / "rce_ckpt")
+    save_rcm_orbax(path, r2)
+    r3 = load_rcm_orbax(path, r)
+    np.testing.assert_allclose(np.asarray(r3.T), np.asarray(r2.T), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(r3.A.ln_sigma), np.asarray(r2.A.ln_sigma), rtol=1e-12
+    )
