@@ -344,6 +344,27 @@ def _conc_group(concf, a, b):
 # the Pallas kernel unrolls its state loop — bound the unroll (and its VMEM
 # residency) by splitting large batches into groups
 GROUP = 16
+# unroll cap: beyond this the per-group static state loop bloats the Mosaic
+# program (compile time, register pressure) faster than launch savings accrue
+GROUP_MAX = 64
+
+
+def _state_group(n_lines: int, slab: int) -> int:
+    """States per Pallas call, sized so the catalog stays VMEM-resident.
+
+    The resident strategies keep (3*n_states + 1) f32 rows of n_lines_pad in
+    VMEM (see ``linesum_pallas._pallas_sigma_impl``); a fixed small group
+    would split a deep column (e.g. 200 RCM levels) into a long chain of
+    sequential kernel calls even when the catalog is small enough to batch
+    far more states per call. Large catalogs fall back to GROUP so the
+    gathered-slab path's per-call footprint stays bounded.
+    """
+    from .linesum_pallas import CHUNK, _RESIDENT_VMEM_LIMIT
+
+    slab_pad = -(-max(1, slab) // CHUNK) * CHUNK
+    n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
+    max_states = (_RESIDENT_VMEM_LIMIT // (4 * n_lines_pad) - 1) // 3
+    return int(np.clip(max_states, GROUP, GROUP_MAX))
 
 
 def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt", conc=None):
@@ -363,15 +384,16 @@ def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt", conc=None
 
     shp, Tf, Pf, Ppf, concf = _flatten_states(T, P, Pp, conc, lines.nu.shape[0])
     n = Tf.shape[0]
-    if n <= GROUP:
+    grp = _state_group(lines.nu.shape[0], plan.slab)
+    if n <= grp:
         sig = sigma_from_lines_pallas_jvp(plan, lines, Tf, Pf, Ppf, shape, concf)
     else:
         parts = [
             sigma_from_lines_pallas_jvp(
-                plan, lines, Tf[a : a + GROUP], Pf[a : a + GROUP],
-                Ppf[a : a + GROUP], shape, _conc_group(concf, a, a + GROUP),
+                plan, lines, Tf[a : a + grp], Pf[a : a + grp],
+                Ppf[a : a + grp], shape, _conc_group(concf, a, a + grp),
             )
-            for a in range(0, n, GROUP)
+            for a in range(0, n, grp)
         ]
         sig = jnp.concatenate(parts, axis=0)
     return sig.reshape(shp + (plan.n_nu,))
@@ -387,15 +409,16 @@ def sigma_from_lines_auto_device(dplan, lines, T, P, Pp, shape="voigt", conc=Non
 
     shp, Tf, Pf, Ppf, concf = _flatten_states(T, P, Pp, conc, lines.nu.shape[0])
     n = Tf.shape[0]
-    if n <= GROUP:
+    grp = _state_group(lines.nu.shape[0], dplan.slab)
+    if n <= grp:
         sig = sigma_from_lines_pallas_device(dplan, lines, Tf, Pf, Ppf, shape, conc=concf)
     else:
         parts = [
             sigma_from_lines_pallas_device(
-                dplan, lines, Tf[a : a + GROUP], Pf[a : a + GROUP],
-                Ppf[a : a + GROUP], shape, conc=_conc_group(concf, a, a + GROUP),
+                dplan, lines, Tf[a : a + grp], Pf[a : a + grp],
+                Ppf[a : a + grp], shape, conc=_conc_group(concf, a, a + grp),
             )
-            for a in range(0, n, GROUP)
+            for a in range(0, n, grp)
         ]
         sig = jnp.concatenate(parts, axis=0)
     return sig.reshape(shp + (dplan.n_nu,))

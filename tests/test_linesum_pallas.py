@@ -88,3 +88,41 @@ def test_hi_lo_positions_beat_plain_f32(co2):
     err_f32pos = np.max(np.abs(rough[m] - ref[m]) / ref[m])
     assert err_kernel < 5e-3
     assert err_kernel < err_f32pos / 10.0
+
+
+def test_state_group_scales_with_catalog(co2):
+    """Adaptive state batching: small catalogs batch more states per kernel
+    call (bounded by the resident-VMEM budget and the unroll cap); large
+    catalogs stay at the conservative GROUP so the gathered-slab fallback's
+    per-call footprint is bounded."""
+    from clearsky_tpu.ops.linesum import _state_group, GROUP, GROUP_MAX
+    from clearsky_tpu.ops.linesum_pallas import CHUNK, _RESIDENT_VMEM_LIMIT
+
+    assert _state_group(600, 128) == GROUP_MAX        # tiny catalog: cap
+    assert _state_group(2_000_000, 128) == GROUP      # huge catalog: floor
+    # mid-size: exactly the resident budget (between floor and cap)
+    n_lines = 17_000
+    g = _state_group(n_lines, 256)
+    n_pad = -(-(n_lines + 256 + CHUNK) // 128) * 128
+    assert GROUP < g < GROUP_MAX
+    assert (3 * g + 1) * n_pad * 4 <= _RESIDENT_VMEM_LIMIT
+    assert (3 * (g + 1) + 1) * n_pad * 4 > _RESIDENT_VMEM_LIMIT
+
+
+def test_pallas_wide_state_batch_matches_oracle(co2):
+    """A state batch at the unroll cap (the adaptive group size for small
+    catalogs) through the grouped kernel matches the f64 oracle."""
+    from clearsky_tpu.ops.linesum import GROUP_MAX
+
+    nu = np.linspace(610.0, 780.0, 256)
+    plan = build_line_window_plan(nu, np.asarray(co2.nu), 25.0, block=128)
+    rng = np.random.default_rng(0)
+    T = jnp.asarray(rng.uniform(180.0, 320.0, GROUP_MAX))
+    P = jnp.asarray(10.0 ** rng.uniform(2.0, 5.0, GROUP_MAX))
+    ref = np.asarray(sigma_from_lines(plan, co2, T, P, 0.5 * P, "voigt"))
+    out = np.asarray(
+        sigma_from_lines_pallas(plan, co2, T, P, 0.5 * P, "voigt", interpret=True)
+    )
+    m = np.abs(ref) > 1e-35
+    np.testing.assert_allclose(out[m], ref[m], rtol=2e-3, atol=1e-32)
+    assert np.all(np.abs(out[~m]) < 1e-30)
