@@ -102,6 +102,7 @@ from .atmosphere.saturation import (
 from .rt.discretized import FluxPack
 from .rt.fluxes import (
     Discretized,
+    Radau,
     RadauEq,
     optical_depth,
     transmittance,

@@ -38,7 +38,7 @@ from ..rt.discretized import (
     monoflux,
     integrate_flux,
 )
-from ..rt.fluxes import Discretized, RadauEq, DEFAULT_THETA_S, _spectral_fn
+from ..rt.fluxes import Discretized, Radau, RadauEq, DEFAULT_THETA_S, _spectral_fn
 
 __all__ = [
     "RCM",
@@ -178,6 +178,22 @@ def _mono_on_radiative_grid(rcm: RCM, T, A: AcceleratedAbsorber):
         return interp_linear(jnp.log(P), lnP, T)
 
     core = rcm.core
+    if isinstance(core, Radau):
+        # adaptive engine on the refined grid: opacity from the accelerated
+        # cache, T/mu re-sampled onto its lnP grid (the reference's RCM Radau
+        # path pulls through the same AcceleratedAbsorber interpolation,
+        # ref absorbers.jl:203 + radiative_convective.jl:113)
+        from ..rt.radau import ColumnCache, radau_monoflux
+
+        Pg = jnp.exp(A.lnP)
+        Tg = fT(Pg)
+        mug = jnp.broadcast_to(jnp.asarray(rcm.fmu(Tg, Pg)), Pg.shape)
+        cache = ColumnCache(lnP=A.lnP, T=Tg, mu=mug, ln_sigma=A.ln_sigma, nu=A.nu)
+        M_up, M_down, tau = radau_monoflux(
+            cache, np.asarray(rcm.Pr), rcm.g, rcm.S_nu, rcm.a_nu, rcm.theta_s,
+            nstream=core.nstream, tol=core.tol, max_steps=core.max_steps,
+        )
+        return tau, M_up, M_down
     Pn = lobatto_pressures(rcm.Pr, core.nlobatto)
     Tn = fT(Pn)
     mun = jnp.broadcast_to(jnp.asarray(rcm.fmu(Tn, Pn)), Pn.shape)

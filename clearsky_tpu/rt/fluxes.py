@@ -39,6 +39,7 @@ from .discretized import (
 
 __all__ = [
     "Discretized",
+    "Radau",
     "RadauEq",
     "optical_depth",
     "transmittance",
@@ -61,6 +62,23 @@ class Discretized:
 
     nstream: int = 5
     nlobatto: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class Radau:
+    """Adaptive-core selector: on-device error-controlled Radau IIA(5) marches.
+
+    The real counterpart of the reference's ``Radau(nstream, tol)`` engine
+    (ref shared.jl:40-51, core/radau.jl) — per-(stream x wavenumber) adaptive
+    Schwarzschild integration (see ``rt.radau``). ``nlevels`` sets the
+    internal opacity-cache resolution for non-accelerated absorber stacks
+    (0 = an AcceleratedAbsorber's own grid, else 256 omega-spaced points).
+    """
+
+    nstream: int = 5
+    tol: float = 1e-5
+    nlevels: int = 0
+    max_steps: int = 10_000
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,7 +161,9 @@ def _refined(P, refine):
     return Pr, idx
 
 
-def optical_depth(P, g, T, mu, theta, *absorbers, nlobatto: int = 4, nlevels: int = 128):
+def optical_depth(
+    P, g, T, mu, theta, *absorbers, nlobatto: int = 4, nlevels: int = 128, core=None
+):
     """Monochromatic slant-path optical depths [n_nu] between two pressures.
 
     Two call forms, mirroring the reference:
@@ -151,6 +171,9 @@ def optical_depth(P, g, T, mu, theta, *absorbers, nlobatto: int = 4, nlevels: in
         internal omega grid (the Radau-path equivalent, ref fluxes.jl:39-66);
       * ``optical_depth(P_vector, ...)`` — Lobatto quadrature on the given
         levels (ref fluxes.jl:68-97).
+
+    ``core=Radau(...)`` integrates the depth ODE adaptively instead (the
+    reference Radau path proper, ref core/radau.jl:76-110).
     """
     A = unify_absorbers(absorbers)
     _check_azimuth(theta)
@@ -163,6 +186,14 @@ def optical_depth(P, g, T, mu, theta, *absorbers, nlobatto: int = 4, nlevels: in
     check_pressures(A, Pgrid[-1], Pgrid[0])
     fT, fmu = formprofiles(jnp.asarray(Pgrid), T, mu)
     m = 1.0 / np.cos(theta)
+    if isinstance(core, Radau):
+        from .radau import build_column_cache, radau_path_tau
+
+        cache = build_column_cache(Pgrid, fT, fmu, A, nlevels=core.nlevels)
+        return radau_path_tau(
+            cache, Pgrid[0], Pgrid[-1], g, m=m, tol=core.tol,
+            max_steps=core.max_steps,
+        )
     Pg = jnp.asarray(Pgrid)
     Pn = lobatto_pressures(Pg, nlobatto)
     Tn, mun = _eval_profiles(Pn, fT, fmu)
@@ -186,6 +217,7 @@ def outgoing(
     nlobatto: int = 3,
     nlevels: int = 128,
     vertical: bool = False,
+    core=None,
 ):
     """Outgoing monochromatic flux at TOA [n_nu] (OLR spectrum).
 
@@ -193,7 +225,8 @@ def outgoing(
     surface Planck emission marched up through the column with ``nstream``
     hemispheric streams; integrate with ``trapz(nu, olr)`` for total OLR.
     Accepts a scalar surface pressure (internal omega grid down to ``Ptop``)
-    or a full pressure vector.
+    or a full pressure vector. Pass ``core=Radau(...)`` for the adaptive
+    error-controlled engine instead of the discretized march.
     """
     A = unify_absorbers(absorbers)
     _check_streams(nstream)
@@ -202,6 +235,14 @@ def outgoing(
     check_pressures(A, Pgrid[-1], Pgrid[0])
     Pg = jnp.asarray(Pgrid)
     fT, fmu = formprofiles(Pg, T, mu)
+    if isinstance(core, Radau):
+        from .radau import build_column_cache, radau_outgoing
+
+        cache = build_column_cache(Pgrid, fT, fmu, A, nlevels=core.nlevels)
+        return radau_outgoing(
+            cache, Pgrid[-1], Pgrid[0], g, nstream=core.nstream,
+            tol=core.tol, vertical=vertical, max_steps=core.max_steps,
+        )
     tau = _column_tau(Pg, g, fT, fmu, A, nlobatto)
     B = _planck_levels(Pg, A.nu, fT)
     return outgoing_flux(tau, B, nstream, vertical=vertical)
@@ -235,6 +276,15 @@ def monochromatic_fluxes(
     fa_ = _spectral_fn(fa)
     S_nu = fS_(A.nu)
     a_nu = fa_(A.nu)
+
+    if isinstance(core, Radau):
+        from .radau import build_column_cache, radau_monoflux
+
+        cache = build_column_cache(P, fT, fmu, A, nlevels=core.nlevels)
+        return radau_monoflux(
+            cache, P, g, S_nu, a_nu, theta_s,
+            nstream=core.nstream, tol=core.tol, max_steps=core.max_steps,
+        )
 
     if isinstance(core, RadauEq):
         Pr, idx = _refined(P, core.refine)
