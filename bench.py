@@ -71,7 +71,7 @@ def bench_tpu(lines, nu):
     from clearsky_tpu.ops.linesum import build_line_window_plan
     from clearsky_tpu.ops.linesum_pallas import sigma_from_lines_pallas
 
-    plan = build_line_window_plan(nu, np.asarray(lines.nu), CUT, block=256)
+    plan = build_line_window_plan(nu, np.asarray(lines.nu), CUT, block=128)
     T, P = _states(N_STATES)
     Tj, Pj = jnp.asarray(T, jnp.float32), jnp.asarray(P, jnp.float32)
     Pp = 0.95 * Pj

@@ -105,7 +105,7 @@ def bake_sigma_grid(
     domain: AtmosphericDomain,
     shape: str = "voigt",
     cut: float | None = None,
-    block: int = 256,
+    block: int = 128,
     tp_batch: int = 16,
     backend: str = "auto",
 ) -> np.ndarray:
@@ -300,7 +300,7 @@ class DirectGas(AbstractGas):
 
     @classmethod
     def from_lines(
-        cls, lines, fC, nu, shape: str = "voigt", cut: float | None = None, block: int = 256
+        cls, lines, fC, nu, shape: str = "voigt", cut: float | None = None, block: int = 128
     ) -> "DirectGas":
         cut = DEFAULT_CUT[shape] if cut is None else float(cut)
         nu = _check_nu(nu)
@@ -496,7 +496,7 @@ class MultiGas(AbstractGas):
     @classmethod
     def from_lines(
         cls, entries, nu, shape: str = "voigt", cut: float | None = None,
-        block: int = 256,
+        block: int = 128,
     ) -> "MultiGas":
         """Build from [(SpectralLines, concentration-or-fC), ...]."""
         from ..spectra.merge import merge_lines, merge_catalogs

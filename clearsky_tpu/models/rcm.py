@@ -183,14 +183,11 @@ def _mono_on_radiative_grid(rcm: RCM, T, A: AcceleratedAbsorber):
         # cache, T/mu re-sampled onto its lnP grid (the reference's RCM Radau
         # path pulls through the same AcceleratedAbsorber interpolation,
         # ref absorbers.jl:203 + radiative_convective.jl:113)
-        from ..rt.radau import ColumnCache, radau_monoflux
+        from ..rt.radau import build_column_cache, radau_monoflux
 
-        Pg = jnp.exp(A.lnP)
-        Tg = fT(Pg)
-        mug = jnp.broadcast_to(jnp.asarray(rcm.fmu(Tg, Pg)), Pg.shape)
-        cache = ColumnCache(lnP=A.lnP, T=Tg, mu=mug, ln_sigma=A.ln_sigma, nu=A.nu)
+        cache = build_column_cache(rcm.Pr, fT, rcm.fmu, A)
         M_up, M_down, tau = radau_monoflux(
-            cache, np.asarray(rcm.Pr), rcm.g, rcm.S_nu, rcm.a_nu, rcm.theta_s,
+            cache, rcm.Pr, rcm.g, rcm.S_nu, rcm.a_nu, rcm.theta_s,
             nstream=core.nstream, tol=core.tol, max_steps=core.max_steps,
         )
         return tau, M_up, M_down

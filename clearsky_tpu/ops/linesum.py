@@ -105,7 +105,7 @@ def build_line_window_plan(
     nu_grid: np.ndarray,
     nu_lines: np.ndarray,
     cut: float,
-    block: int = 256,
+    block: int = 128,
 ) -> LineWindowPlan:
     """Construct the static block->line-slab banding (host-side, setup time).
 

@@ -81,6 +81,43 @@ def _profile_tile(shape: str, dnu, S, alpha, gamma, T):
     raise ValueError(f"unknown line shape {shape!r}")
 
 
+# shapes eligible for the near/far Humlicek split in the grouped kernel
+_SPLIT_SHAPES = ("voigt", "phco2", "voigt_ref", "phco2_ref")
+
+
+def _profile_far(shape, dnu, S, alpha, gamma, T):
+    """Far-wing Voigt tile: Humlicek region 1 only (~20 flops/eval).
+
+    Valid whenever s = |x| + y >= 15, which the caller guarantees
+    structurally: the grouped kernel's far sweep masks to |dnu| > d_near with
+    d_near = 15 * max(alpha), so |x| = |dnu|/alpha >= 15 for every unmasked
+    element regardless of the (pressure-dependent) y. Only the real part of
+    w1 = 0.5641896 t/(0.5 + t^2) is formed. Where the full `wofz_re` would
+    instead take the y < 0.01 small-y repair, the two forms agree to
+    O(x^-4) <= 2e-5 rel at |x| >= 15 — inside the kernel's 2.4e-4 class
+    (measured max rel delta 2.6e-5 on the CO2 fixture A/B).
+
+    (A tile-level `lax.cond` dispatch between this and the full w4 was tried
+    first and measured 2.4-3x SLOWER than no fast path at all — Mosaic scalar
+    conds break the loop pipeline. The split must be branch-free, hence the
+    two-sweep structure in `_kernel_resident_grouped`.)
+    """
+    g = gamma * chi_phco2(dnu, T) if shape.startswith("phco2") else gamma
+    alpha = alpha * (1.0 / _SQRT_LN2) if shape.endswith("_ref") else alpha
+    ia = 1.0 / alpha
+    x = dnu * ia
+    y = g * ia
+    # Re[0.5641896 (y - ix) / (0.5 + (y - ix)^2)], real arithmetic only.
+    # Two-division form matters here too (see faddeeva._cdiv): d2 ~ |z|^4
+    # stays finite in f32 up to |x| ~ 1e9, far beyond any cut/alpha ratio.
+    t2r = y * y - x * x
+    t2i = -2.0 * x * y
+    br = 0.5 + t2r
+    d2 = br * br + t2i * t2i
+    wr = 0.5641896 * (y * br - x * t2i) / d2
+    return (S * (1.0 / _SQRT_PI) * ia) * wr
+
+
 def _kernel(shape, slab_pad, cut, n_states, nu_b_ref, nu_b_lo_ref, nul_ref,
             nul_lo_ref, S_ref, a_ref, g_ref, cnt_ref, T_ref, out_ref):
     """One program per wavenumber block, all states fused.
@@ -171,8 +208,8 @@ def _kernel_resident(shape, cut, n_states, nu_b_ref, nu_b_lo_ref, nul_ref,
     out_ref[:, 0, 0, :] = acc
 
 
-def _kernel_resident_grouped(shape, cut, n_states, n_params, nu_b_ref,
-                             nu_b_lo_ref, Pk_ref, start_ref, cnt_ref, T_ref,
+def _kernel_resident_grouped(shape, cut, n_states, n_params, split, nu_b_ref,
+                             nu_b_lo_ref, Pk_ref, scal_ref, dnear_ref, T_ref,
                              out_ref, Pt_ref):
     """Sublane-grouped resident variant: points on LANES, 8-line groups on
     SUBLANES.
@@ -188,51 +225,81 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, nu_b_ref,
     [128, n_params]; 8-line groups are then 8-aligned sublane slices and the
     per-group per-state parameter columns are [8, 1] broadcasts — no
     per-group relayouts.
+
+    With ``split`` (Voigt-family shapes), the window is swept twice,
+    branch-free: a FAR sweep over the whole slab with the ~20-flop region-1
+    profile masked to |dnu| > d_near, and a NEAR sweep over the tiny
+    [start2, start2+cnt2) sub-slab (lines within d_near of the block) with
+    the full w4 profile masked to |dnu| <= d_near. d_near = 15*max(alpha)
+    guarantees s = |x|+y >= 15 for every far element (see `_profile_far`);
+    the strict >/<= masks on the SAME two-float dnu make the split exact —
+    each (point, line) pair is evaluated by exactly one sweep.
+
+    Per-block scalars are PACKED into one SMEM row scal[b] =
+    (start, cnt, start2, cnt2): SMEM windows cost ~512 B per row regardless
+    of width, so four separate [seg, 1] arrays blow the 1 MB SMEM budget at
+    SEG=512 while one [seg, 4] array costs a quarter of it.
     """
     B = nu_b_ref.shape[-1]
     nu_b = nu_b_ref[0, 0, :].reshape(1, B)
     nu_b_lo = nu_b_lo_ref[0, 0, :].reshape(1, B)
     b = pl.program_id(0)
-    start = start_ref[b, 0]
-    cnt = cnt_ref[b, 0]
-    start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-    off = start - start_al              # < CHUNK
-    end = off + cnt                     # last local line (exclusive)
     # per-state accumulators as a tuple carry: .at[...].add on a stacked
     # array lowers to scatter-add, which Mosaic does not implement
     acc0 = tuple(jnp.zeros((1, B), jnp.float32) for _ in range(n_states))
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
-    def chunk_body(c, acc):
-        o = pl.multiple_of(start_al + c * CHUNK, CHUNK)
-        # one relayout per chunk, staged through a scratch ref so the group
-        # loop below can take 8-aligned dynamic sublane slices (Mosaic lowers
-        # pl.ds on refs; dynamic_slice on values is unimplemented)
-        Pt_ref[:, :] = Pk_ref[:, pl.ds(o, CHUNK)].T  # [CHUNK, n_params]
-        g_lo = jnp.maximum(0, (off - c * CHUNK)) // 8
-        g_hi = jnp.minimum(CHUNK // 8, (end - c * CHUNK + 7) // 8)
+    def sweep(start, cnt, profile_fn, mask_fn, acc):
+        start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+        off = start - start_al              # < CHUNK
+        end = off + cnt                     # last local line (exclusive)
 
-        def group_body(g, acc):
-            rows = Pt_ref[pl.ds(pl.multiple_of(g * 8, 8), 8), :]  # [8, n_params]
-            nul = rows[:, 0:1]
-            nul_lo = rows[:, 1:2]
-            dnu = (nu_b - nul) + (nu_b_lo - nul_lo)   # [8, B] two-float
-            local = c * CHUNK + g * 8 + iota8
-            mask = (local < end) & (jnp.abs(dnu) <= cut)
-            new = []
-            for st in range(n_states):         # static unroll
-                S = rows[:, 2 + 3 * st : 3 + 3 * st]
-                al = rows[:, 3 + 3 * st : 4 + 3 * st]
-                ga = rows[:, 4 + 3 * st : 5 + 3 * st]
-                f = _profile_tile(shape, dnu, S, al, ga, T_ref[st, 0])
-                contrib = jnp.sum(jnp.where(mask, f, 0.0), axis=0).reshape(1, B)
-                new.append(acc[st] + contrib)
-            return tuple(new)
+        def chunk_body(c, acc):
+            o = pl.multiple_of(start_al + c * CHUNK, CHUNK)
+            # one relayout per chunk, staged through a scratch ref so the
+            # group loop below can take 8-aligned dynamic sublane slices
+            # (Mosaic lowers pl.ds on refs; dynamic_slice on values is
+            # unimplemented)
+            Pt_ref[:, :] = Pk_ref[:, pl.ds(o, CHUNK)].T  # [CHUNK, n_params]
+            g_lo = jnp.maximum(0, (off - c * CHUNK)) // 8
+            g_hi = jnp.minimum(CHUNK // 8, (end - c * CHUNK + 7) // 8)
 
-        return jax.lax.fori_loop(g_lo, g_hi, group_body, acc)
+            def group_body(g, acc):
+                rows = Pt_ref[pl.ds(pl.multiple_of(g * 8, 8), 8), :]  # [8, n_params]
+                nul = rows[:, 0:1]
+                nul_lo = rows[:, 1:2]
+                dnu = (nu_b - nul) + (nu_b_lo - nul_lo)   # [8, B] two-float
+                local = c * CHUNK + g * 8 + iota8
+                mask = (local < end) & mask_fn(jnp.abs(dnu))
+                new = []
+                for st in range(n_states):         # static unroll
+                    S = rows[:, 2 + 3 * st : 3 + 3 * st]
+                    al = rows[:, 3 + 3 * st : 4 + 3 * st]
+                    ga = rows[:, 4 + 3 * st : 5 + 3 * st]
+                    f = profile_fn(shape, dnu, S, al, ga, T_ref[st, 0])
+                    contrib = jnp.sum(jnp.where(mask, f, 0.0), axis=0).reshape(1, B)
+                    new.append(acc[st] + contrib)
+                return tuple(new)
 
-    nchunks = (end + CHUNK - 1) // CHUNK
-    acc = jax.lax.fori_loop(0, nchunks, chunk_body, acc0)
+            return jax.lax.fori_loop(g_lo, g_hi, group_body, acc)
+
+        nchunks = (end + CHUNK - 1) // CHUNK
+        return jax.lax.fori_loop(0, nchunks, chunk_body, acc)
+
+    start = scal_ref[b, 0]
+    cnt = scal_ref[b, 1]
+    if split:
+        d_near = dnear_ref[0, 0]
+        acc = sweep(
+            start, cnt, _profile_far,
+            lambda adnu: (adnu <= cut) & (adnu > d_near), acc0,
+        )
+        acc = sweep(
+            scal_ref[b, 2], scal_ref[b, 3], _profile_tile,
+            lambda adnu: adnu <= d_near, acc,
+        )
+    else:
+        acc = sweep(start, cnt, _profile_tile, lambda adnu: adnu <= cut, acc0)
     for st in range(n_states):
         out_ref[st, 0, 0, :] = acc[st][0, :]
 
@@ -283,7 +350,10 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
     # useful evals/s/chip) — per-block work is ceil(cnt/8)*8 lines instead of
     # ceil(cnt/128)*128, and sparse spectral regions dominate real catalogs.
     # strategy='lane' keeps the lane-major variant for A/B comparisons.
-    if strategy in ("auto", "grouped") and resident_bytes <= _RESIDENT_VMEM_LIMIT:
+    if (
+        strategy in ("auto", "grouped", "nosplit")
+        and resident_bytes <= _RESIDENT_VMEM_LIMIT
+    ):
         pad_n = n_lines_pad - n_lines
         nul_full = jnp.concatenate([nu_l, jnp.full((pad_n,), 1e30, jnp.float32)])[None, :]
         nul_lo_full = jnp.concatenate([nu_l_lo, jnp.zeros((pad_n,), jnp.float32)])[None, :]
@@ -297,7 +367,41 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
             rows += [S_full[st : st + 1], a_full[st : st + 1], g_full[st : st + 1]]
         Pk = jnp.concatenate(rows, axis=0)  # [2 + 3*n_states, n_lines_pad]
         n_params = Pk.shape[0]
-        kern = partial(_kernel_resident_grouped, shape, float(cut), n_states, n_params)
+
+        # near/far Humlicek split (see _kernel_resident_grouped/_profile_far):
+        # d_near = 15*max(alpha) bounds the region where the full w4 is
+        # needed; the near sub-slab [start2, start2+cnt2) per block comes
+        # from a traced searchsorted against the block edges (conservative
+        # 0.01 cm^-1 margin swallows f32 position rounding — membership is
+        # decided exactly in-kernel by the |dnu| <=/> d_near masks).
+        use_split = shape in _SPLIT_SHAPES and strategy != "nosplit"
+        if use_split:
+            amax = jnp.max(alpha)
+            if shape.endswith("_ref"):
+                amax = amax * (1.0 / _SQRT_LN2)
+            d_near = jnp.minimum(15.0 * amax, cut).astype(jnp.float32)
+            wend = start + count.astype(jnp.int32)
+            s2 = jnp.searchsorted(
+                nu_l, nu_blocks_hi[:, 0] - d_near - 0.01
+            ).astype(jnp.int32)
+            e2 = jnp.searchsorted(
+                nu_l, nu_blocks_hi[:, -1] + d_near + 0.01, side="right"
+            ).astype(jnp.int32)
+            start2 = jnp.clip(s2, start, wend)
+            cnt2 = jnp.clip(e2, start2, wend) - start2
+            dnear_op = d_near.reshape(1, 1)
+        else:
+            start2 = jnp.zeros_like(start)
+            cnt2 = jnp.zeros((n_blocks,), jnp.int32)
+            dnear_op = jnp.zeros((1, 1), jnp.float32)
+        scal = jnp.stack(
+            [start, count.astype(jnp.int32), start2, cnt2], axis=1
+        )  # [n_blocks, 4] packed per-block SMEM scalars
+
+        kern = partial(
+            _kernel_resident_grouped, shape, float(cut), n_states, n_params,
+            use_split,
+        )
         SEG = 512
         outs = []
         for a in range(0, n_blocks, SEG):
@@ -310,8 +414,8 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
                     pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),  # Pk, resident
-                    pl.BlockSpec(memory_space=pltpu.SMEM),  # starts (raw)
-                    pl.BlockSpec(memory_space=pltpu.SMEM),  # counts (raw)
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # packed per-block scalars
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # d_near
                     pl.BlockSpec(memory_space=pltpu.SMEM),  # T
                 ],
                 out_specs=pl.BlockSpec(
@@ -322,7 +426,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
                 interpret=interpret,
             )(
                 nu_blocks[a:b], nu_blocks_lo[a:b], Pk,
-                start[a:b][:, None], counts[a:b], T2,
+                scal[a:b], dnear_op, T2,
             )
             outs.append(out.reshape(n_states, seg * B))
         full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)

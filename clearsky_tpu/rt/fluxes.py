@@ -238,6 +238,10 @@ def outgoing(
     if isinstance(core, Radau):
         from .radau import build_column_cache, radau_outgoing
 
+        # the core selector bundles the quadrature order (as in the
+        # reference's Radau(nstream, tol), ref shared.jl:40-51) — it
+        # overrides this function's nstream argument
+        _check_streams(core.nstream)
         cache = build_column_cache(Pgrid, fT, fmu, A, nlevels=core.nlevels)
         return radau_outgoing(
             cache, Pgrid[-1], Pgrid[0], g, nstream=core.nstream,

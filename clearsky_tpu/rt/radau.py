@@ -68,13 +68,15 @@ def build_column_cache(P, fT, fmu, A, nlevels: int = 0) -> ColumnCache:
     dense sigma evaluation runs once on an omega-spaced grid of ``nlevels``
     (default 256) points spanning [P.min, P.max].
     """
-    P = np.asarray(P, dtype=np.float64)
     if isinstance(A, AcceleratedAbsorber) and nlevels == 0:
+        # P is unused here, so this branch stays trace-safe (RCM heating
+        # builds the cache inside jit with a traced pressure grid)
         lnP = A.lnP
         Pg = jnp.exp(lnP)
         T = jnp.broadcast_to(jnp.asarray(fT(Pg)), Pg.shape)
         mu = jnp.broadcast_to(jnp.asarray(fmu(T, Pg)), Pg.shape)
         return ColumnCache(lnP=lnP, T=T, mu=mu, ln_sigma=A.ln_sigma, nu=A.nu)
+    P = np.asarray(P, dtype=np.float64)
     n = nlevels or 256
     w = np.linspace(np.sqrt(P.min()), np.sqrt(P.max()), n)
     Pg = w * w
@@ -99,36 +101,57 @@ def _bracket(lnp, lnPg):
     return i, t
 
 
-def _make_rhs(cache: ColumnCache, g: float, n_nu: int, emission: bool):
-    """Vectorized RHS over lanes at per-lane sqrt-P positions.
+# The RHS functions are MODULE-LEVEL and take the whole column cache through
+# the traced args pytree: radau_scalar's jit cache keys on the RHS identity,
+# and per-call closures would force a full while-loop recompile on every
+# top-level flux call (3-10 min through the remote TPU compile tunnel).
+# x is the signed sqrt-P coordinate (omega upward / iota downward, ref
+# util.jl:4-14); the path element is |dP| = 2 sqrt(P) |dx| in both directions.
 
-    args = (nu_idx [L] int32, nu_val [L], m [L]); x is the signed sqrt-P
-    coordinate (omega upward / iota downward, ref util.jl:4-14); the path
-    element is |dP| = 2 sqrt(P) |dx| in both directions.
-    """
-    lnPg = cache.lnP
-    Tg = cache.T
-    mug = cache.mu
-    lnsig_flat = cache.ln_sigma.reshape(-1)
-    CONST = 1e-4 * N_AVOGADRO / g  # dtau/dP = CONST * sigma / mu (ref radiation.jl:141)
 
-    def f(x, y, args):
-        nu_idx, nu_val, m = args
-        sp = jnp.abs(x)
-        lnp = 2.0 * jnp.log(sp)
-        i, t = _bracket(lnp, lnPg)
-        T = Tg[i] + t * (Tg[i + 1] - Tg[i])
-        mu = mug[i] + t * (mug[i + 1] - mug[i])
-        lns = lnsig_flat[i * n_nu + nu_idx] + t * (
-            lnsig_flat[(i + 1) * n_nu + nu_idx] - lnsig_flat[i * n_nu + nu_idx]
-        )
-        rate = m * CONST * (jnp.exp(lns) / mu) * (2.0 * sp)
-        if not emission:
-            return rate * jnp.ones_like(y)  # optical depth: dtau/dx
-        B = planck(nu_val, T)
-        return rate * (B - y)  # Schwarzschild along the propagation path
+def _rhs_emission(x, y, args):
+    """Schwarzschild along the propagation path: dI/dx = rate * (B - I)."""
+    nu_idx, nu_val, m, lnPg, Tg, mug, lnsig_flat, const, n_nu = args
+    sp = jnp.abs(x)
+    lnp = 2.0 * jnp.log(sp)
+    i, t = _bracket(lnp, lnPg)
+    T = Tg[i] + t * (Tg[i + 1] - Tg[i])
+    mu = mug[i] + t * (mug[i + 1] - mug[i])
+    base = i * n_nu + nu_idx
+    lns = lnsig_flat[base] + t * (lnsig_flat[base + n_nu] - lnsig_flat[base])
+    rate = m * const * (jnp.exp(lns) / mu) * (2.0 * sp)
+    B = planck(nu_val, T)
+    return rate * (B - y)
 
-    return f
+
+def _rhs_depth(x, y, args):
+    """Optical depth: dtau/dx = rate (independent of y)."""
+    nu_idx, nu_val, m, lnPg, Tg, mug, lnsig_flat, const, n_nu = args
+    sp = jnp.abs(x)
+    lnp = 2.0 * jnp.log(sp)
+    i, t = _bracket(lnp, lnPg)
+    mu = mug[i] + t * (mug[i + 1] - mug[i])
+    base = i * n_nu + nu_idx
+    lns = lnsig_flat[base] + t * (lnsig_flat[base + n_nu] - lnsig_flat[base])
+    rate = m * const * (jnp.exp(lns) / mu) * (2.0 * sp)
+    return rate * jnp.ones_like(y)
+
+
+def _rhs_args(cache: ColumnCache, g: float, nu_idx, nu_val, m_lane):
+    const = 1e-4 * N_AVOGADRO / g  # dtau/dP = const*sigma/mu (ref radiation.jl:141)
+    dtype = cache.T.dtype
+    n_nu = jnp.asarray(cache.nu.shape[0], jnp.int32)
+    return (
+        nu_idx, nu_val, m_lane, cache.lnP, cache.T, cache.mu,
+        cache.ln_sigma.reshape(-1), jnp.asarray(const, dtype), n_nu,
+    )
+
+
+def _eff_tol(tol, dtype):
+    """Clamp rtol above float resolution: below ~8 eps the embedded error
+    estimate is roundoff-dominated, every step rejects, and lanes burn to
+    max_steps (f32 TPU with a tolerance tuned on the f64 CPU suite)."""
+    return max(float(tol), 8.0 * float(jnp.finfo(dtype).eps))
 
 
 def _default_atol(tol, B_peak):
@@ -151,17 +174,20 @@ def radau_path_tau(
     core/radau.jl:76-110): one error-controlled integration per wavenumber
     lane, here all lanes at once.
     """
+    dtype = cache.T.dtype
     n_nu = cache.nu.shape[0]
     nu_idx = jnp.arange(n_nu, dtype=jnp.int32)
-    args = (nu_idx, cache.nu, jnp.full((n_nu,), m, cache.T.dtype))
-    f = _make_rhs(cache, g, n_nu, emission=False)
+    args = _rhs_args(
+        cache, g, nu_idx, cache.nu.astype(dtype), jnp.full((n_nu,), m, dtype)
+    )
+    tol = _eff_tol(tol, dtype)
     hi, lo = max(P1, P2), min(P1, P2)
     r = radau_scalar(
-        f, jnp.zeros((n_nu,), cache.T.dtype), np.sqrt(lo), np.sqrt(hi),
+        _rhs_depth, jnp.zeros((n_nu,), dtype), np.sqrt(lo), np.sqrt(hi),
         args=args, rtol=tol, atol=tol * 1e-6, newton_iters=2,
         max_steps=max_steps,
     )
-    return r.y
+    return jnp.where(r.ok, r.y, jnp.nan)  # never pass off a truncated integral
 
 
 def radau_outgoing(
@@ -192,13 +218,14 @@ def radau_outgoing(
     Ts = cache.T[i] + t * (cache.T[i + 1] - cache.T[i])
     B_s = planck(cache.nu.astype(dtype), Ts)
     I0 = jnp.tile(B_s, ns)
-    f = _make_rhs(cache, g, n_nu, emission=True)
+    args = _rhs_args(cache, g, nu_idx, nu_val, m_lane)
+    tol = _eff_tol(tol, dtype)
     atol = _default_atol(tol, jnp.max(B_s))
     r = radau_scalar(
-        f, I0, -np.sqrt(Ps), -np.sqrt(Ptop), args=(nu_idx, nu_val, m_lane),
+        _rhs_emission, I0, -np.sqrt(Ps), -np.sqrt(Ptop), args=args,
         rtol=tol, atol=atol, newton_iters=2, max_steps=max_steps,
     )
-    I_top = r.y.reshape(ns, n_nu)
+    I_top = jnp.where(r.ok, r.y, jnp.nan).reshape(ns, n_nu)
     return jnp.asarray(W, dtype) @ I_top
 
 
@@ -232,8 +259,8 @@ def radau_monoflux(
     nu_idx = jnp.tile(jnp.arange(n_nu, dtype=jnp.int32), ns)
     nu_val = jnp.tile(cache.nu.astype(dtype), ns)
     m_lane = jnp.repeat(jnp.asarray(m, dtype), n_nu)
-    f = _make_rhs(cache, g, n_nu, emission=True)
-    f_tau = _make_rhs(cache, g, n_nu, emission=False)
+    args = _rhs_args(cache, g, nu_idx, nu_val, m_lane)
+    tol = _eff_tol(tol, dtype)
 
     i_lev, t_lev = _bracket(jnp.log(P), cache.lnP)
     Tlev = cache.T[i_lev] + t_lev * (cache.T[i_lev + 1] - cache.T[i_lev])
@@ -243,8 +270,8 @@ def radau_monoflux(
     # downward emission: iota = +sqrt(P), TOA -> surface (ref radau.jl:223-238)
     xs_down = jnp.sqrt(P)
     I_dn = radau_dense(
-        f, jnp.zeros((ns * n_nu,), dtype), xs_down,
-        args=(nu_idx, nu_val, m_lane), rtol=tol, atol=atol,
+        _rhs_emission, jnp.zeros((ns * n_nu,), dtype), xs_down,
+        args=args, rtol=tol, atol=atol,
         newton_iters=2, max_steps=max_steps,
     ).reshape(n_lev, ns, n_nu)
     M_down = jnp.einsum("k,lkv->lv", Wj, I_dn)
@@ -253,8 +280,9 @@ def radau_monoflux(
     # (ref radau.jl:240-247, absorption-only dJ/diota)
     c = jnp.cos(jnp.asarray(theta_s, dtype))
     tau_v = radau_dense(
-        f_tau, jnp.zeros((n_nu,), dtype), xs_down,
-        args=(
+        _rhs_depth, jnp.zeros((n_nu,), dtype), xs_down,
+        args=_rhs_args(
+            cache, g,
             jnp.arange(n_nu, dtype=jnp.int32),
             cache.nu.astype(dtype),
             jnp.ones((n_nu,), dtype),
@@ -269,7 +297,7 @@ def radau_monoflux(
     I_surf = M_down[-1] * albedo_nu / jnp.pi + B_lev[-1]
     xs_up = -xs_down[::-1]  # -sqrt(Ps) -> -sqrt(Ptop)
     I_up = radau_dense(
-        f, jnp.tile(I_surf, ns), xs_up, args=(nu_idx, nu_val, m_lane),
+        _rhs_emission, jnp.tile(I_surf, ns), xs_up, args=args,
         rtol=tol, atol=atol, newton_iters=2, max_steps=max_steps,
     ).reshape(n_lev, ns, n_nu)[::-1]
     M_up = jnp.einsum("k,lkv->lv", Wj, I_up)

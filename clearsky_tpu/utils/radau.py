@@ -317,7 +317,11 @@ def radau_dense(
             f, y, xa, xb, args=args, rtol=rtol, atol=atol,
             newton_iters=newton_iters, max_steps=max_steps,
         )
-        return r.y, r.y
+        # a lane that exhausted max_steps mid-segment must not pass off its
+        # partial integral as converged — poison it (NaN propagates through
+        # the remaining segments and is caught by any downstream check)
+        y_next = jnp.where(r.ok, r.y, jnp.nan)
+        return y_next, y_next
 
     _, ys = lax.scan(seg, y0, (xs[:-1], xs[1:]))
     return jnp.concatenate([y0[None].astype(ys.dtype), ys], axis=0)

@@ -22,7 +22,7 @@ def co2(fixtures_dir):
 
 
 @pytest.mark.parametrize("shape,cut", [("voigt", 25.0), ("lorentz", 25.0), ("doppler", 25.0)])
-@pytest.mark.parametrize("strategy", ["auto", "grouped"])
+@pytest.mark.parametrize("strategy", ["auto", "nosplit"])
 def test_pallas_matches_f64_oracle(co2, shape, cut, strategy):
     nu = np.linspace(610.0, 780.0, 512)
     plan = build_line_window_plan(nu, np.asarray(co2.nu), cut, block=128)
@@ -41,6 +41,25 @@ def test_pallas_matches_f64_oracle(co2, shape, cut, strategy):
     # line cores don't see the 1e-4 cm^-1 f32 position rounding
     np.testing.assert_allclose(out[m], ref[m], rtol=2e-3, atol=1e-32)
     assert np.all(np.abs(out[~m]) < 1e-30)
+
+
+@pytest.mark.parametrize("shape,cut", [("voigt", 25.0), ("phco2", 500.0)])
+def test_split_matches_nosplit(co2, shape, cut):
+    """The near/far Humlicek split must agree with the single full-w4 sweep.
+
+    The only permitted delta is far-wing elements where the full path takes
+    the y < 0.01 small-y repair and the split takes region 1 directly — they
+    agree to O(x^-4) <= 2e-5 rel at |x| >= 15 (see _profile_far)."""
+    nu = np.linspace(610.0, 780.0, 512)
+    plan = build_line_window_plan(nu, np.asarray(co2.nu), cut, block=128)
+    T = jnp.asarray([200.0, 300.0])
+    P = jnp.asarray([10.0, 9e4])  # low P: small y (repair region); high P: large y
+    a = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, 0.5 * P, shape, interpret=True, strategy="auto"))
+    b = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, 0.5 * P, shape, interpret=True, strategy="nosplit"))
+    m = np.abs(b) > 1e-35
+    np.testing.assert_allclose(a[m], b[m], rtol=1e-4, atol=0.0)
 
 
 def test_pallas_phco2_sublorentzian(co2):
