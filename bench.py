@@ -53,7 +53,10 @@ def _states(n):
     return T, P
 
 
-N_CHAIN = 8  # kernel invocations chained on-device per timing
+# kernel invocations chained on-device per timing: the chain must be long
+# enough that on-device work dominates the relay RTT's +-30 ms jitter
+# (at ~1e10 evals/s one call is ~4 ms, so 8 calls were noise-dominated)
+N_CHAIN = 64
 
 
 def bench_tpu(lines, nu):
@@ -94,14 +97,18 @@ def bench_tpu(lines, nu):
 
     float(chained(Tj).sum())  # compile + settle
     times = []
-    for i in range(3):
+    for i in range(4):
         t0 = time.perf_counter()
         float(chained(Tj + 0.01 * i).sum())
         times.append(time.perf_counter() - t0)
-    # one-call residual overhead (dispatch + readback), measured the same way
-    t0 = time.perf_counter()
-    float((Tj + 1.0).sum())
-    rtt = time.perf_counter() - t0
+    # one-call residual overhead (dispatch + readback), measured the same
+    # way; min-of-5 because single RTT samples jitter by tens of ms
+    rtts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float((Tj + 1.0 + i).sum())
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
     per_call = max(min(times) - rtt, 1e-9) / N_CHAIN
     evals = _line_evals(nu, np.asarray(lines.nu), CUT) * N_STATES
     return evals / per_call

@@ -352,18 +352,19 @@ GROUP_MAX = 64
 def _state_group(n_lines: int, slab: int) -> int:
     """States per Pallas call, sized so the catalog stays VMEM-resident.
 
-    The resident strategies keep (3*n_states + 1) f32 rows of n_lines_pad in
-    VMEM (see ``linesum_pallas._pallas_sigma_impl``); a fixed small group
-    would split a deep column (e.g. 200 RCM levels) into a long chain of
-    sequential kernel calls even when the catalog is small enough to batch
-    far more states per call. Large catalogs fall back to GROUP so the
-    gathered-slab path's per-call footprint stays bounded.
+    The resident strategies keep up to (7*n_states + 2) f32 rows of
+    n_lines_pad in VMEM (the split Voigt pack with precomputed far-wing
+    coefficients, see ``linesum_pallas._pallas_sigma_impl``); a fixed small
+    group would split a deep column (e.g. 200 RCM levels) into a long chain
+    of sequential kernel calls even when the catalog is small enough to
+    batch far more states per call. Large catalogs fall back to GROUP so
+    the gathered-slab path's per-call footprint stays bounded.
     """
     from .linesum_pallas import CHUNK, _RESIDENT_VMEM_LIMIT
 
     slab_pad = -(-max(1, slab) // CHUNK) * CHUNK
     n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
-    max_states = (_RESIDENT_VMEM_LIMIT // (4 * n_lines_pad) - 1) // 3
+    max_states = (_RESIDENT_VMEM_LIMIT // (4 * n_lines_pad) - 2) // 7
     return int(np.clip(max_states, GROUP, GROUP_MAX))
 
 

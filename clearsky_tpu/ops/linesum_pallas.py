@@ -208,32 +208,51 @@ def _kernel_resident(shape, cut, n_states, nu_b_ref, nu_b_lo_ref, nul_ref,
     out_ref[:, 0, 0, :] = acc
 
 
-def _kernel_resident_grouped(shape, cut, n_states, n_params, split, nu_b_ref,
-                             nu_b_lo_ref, Pk_ref, scal_ref, dnear_ref, T_ref,
-                             out_ref, Pt_ref):
+def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
+                             nu_b_ref, nu_b_lo_ref, Pk_ref, scal_ref,
+                             dnear_ref, T_ref, out_ref, Pt_ref):
     """Sublane-grouped resident variant: points on LANES, 8-line groups on
     SUBLANES.
 
     The lane-major kernel's minimum work is one 128-line chunk per point
     block; on sparse spectral regions (median 8 in-window lines per block on
     the CO2 fixture) ~90% of its dense evaluations are masked padding. Here
-    the line axis advances in groups of 8 on sublanes, so per-block work is
-    ceil(cnt/8)*8 lines — ~4.6x fewer dense evals on the bench grid.
+    the line axis advances in groups of ``lgroup`` on sublanes, so per-block
+    work is ceil(cnt/lgroup)*lgroup lines — ~4.6x fewer dense evals on the
+    bench grid (lgroup=8; hardware sweep showed larger groups lose more to
+    quantization than they gain in loop amortization).
 
-    Per 128-line chunk the packed parameter matrix Pk[n_params, 128]
-    (rows: nu_hi, nu_lo, then S/alpha/gamma per state) is transposed ONCE to
-    [128, n_params]; 8-line groups are then 8-aligned sublane slices and the
-    per-group per-state parameter columns are [8, 1] broadcasts — no
-    per-group relayouts.
+    Per 128-line chunk the packed parameter matrix Pk[n_params, 128] is
+    transposed ONCE to [128, n_params]; line groups are then 8-aligned
+    sublane slices and the per-group per-state parameter columns are
+    [lgroup, 1] broadcasts — no per-group relayouts.
+
+    The kernel is vector-ALU-issue bound (probe decomposition in
+    scripts/probe_kernel_overhead.py), so parameter rows carry values
+    PRECOMPUTED in XLA to minimize in-loop vreg-ops — note [lgroup, 1]
+    "scalar" arithmetic occupies a full vreg op just like [lgroup, B], so
+    per-(state, line) prep must happen at pack time, not in the loop:
+
+      * Voigt-family shapes pack (Sia, ia, y0) = (S*ia/sqrt(pi), 1/alpha,
+        gamma/alpha) per state — the full-w4 near tile needs no division —
+        plus, for voigt/voigt_ref, far-wing coefficients (A, c1, c2, k2) =
+        (ia^2, 0.5+y0^2, 4*y0^2*A, S*gamma*A/pi): Humlicek region 1 in the
+        shared D = dnu^2 collapses to k2*(c1+m)/((c1-m)^2 + c2*D) with
+        m = D*A — 5 vreg-ops + 1 divide per state per tile. (The reference
+        convention *_ref folds its alpha/sqrt(ln2) rescale into ia at pack
+        time.) phco2's chi(dnu, T) factor is dnu-dependent, so its far tile
+        keeps the explicit region-1 form on (Sia, ia, y0).
+      * lorentz/doppler pack raw (S, alpha, gamma) and use `_profile_tile`.
 
     With ``split`` (Voigt-family shapes), the window is swept twice,
-    branch-free: a FAR sweep over the whole slab with the ~20-flop region-1
-    profile masked to |dnu| > d_near, and a NEAR sweep over the tiny
-    [start2, start2+cnt2) sub-slab (lines within d_near of the block) with
-    the full w4 profile masked to |dnu| <= d_near. d_near = 15*max(alpha)
-    guarantees s = |x|+y >= 15 for every far element (see `_profile_far`);
-    the strict >/<= masks on the SAME two-float dnu make the split exact —
-    each (point, line) pair is evaluated by exactly one sweep.
+    branch-free: a FAR sweep over the whole slab with the region-1 profile
+    masked to |dnu| > d_near, and a NEAR sweep over the tiny
+    [start2, start2+cnt2) sub-slab with the full w4 profile masked to
+    |dnu| <= d_near. d_near = 15*max(alpha) guarantees s = |x|+y >= 15 for
+    every far element (see `_profile_far`); the strict >/<= masks on the
+    SAME two-float dnu make the split exact. Accumulators are [lgroup, B]
+    per state (same vreg count as [1, B] at B=128) so the sublane reduction
+    happens once per block instead of once per group iteration.
 
     Per-block scalars are PACKED into one SMEM row scal[b] =
     (start, cnt, start2, cnt2): SMEM windows cost ~512 B per row regardless
@@ -244,12 +263,71 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, nu_b_ref,
     nu_b = nu_b_ref[0, 0, :].reshape(1, B)
     nu_b_lo = nu_b_lo_ref[0, 0, :].reshape(1, B)
     b = pl.program_id(0)
+    LG = lgroup
+    ia_pack = shape in _SPLIT_SHAPES
+    voigt_far = split and shape in ("voigt", "voigt_ref")
+    stride = 7 if voigt_far else 3
+    is_phco2 = shape.startswith("phco2")
     # per-state accumulators as a tuple carry: .at[...].add on a stacked
     # array lowers to scatter-add, which Mosaic does not implement
-    acc0 = tuple(jnp.zeros((1, B), jnp.float32) for _ in range(n_states))
-    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    acc0 = tuple(jnp.zeros((LG, B), jnp.float32) for _ in range(n_states))
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (LG, 1), 0)
 
-    def sweep(start, cnt, profile_fn, mask_fn, acc):
+    def tile_near(rows, dnu, mask, acc):
+        """Full-accuracy tile: w4 Faddeeva (ia pack) or `_profile_tile`."""
+        new = []
+        for st in range(n_states):             # static unroll
+            b0 = 2 + stride * st
+            if ia_pack:
+                Sia = rows[:, b0 : b0 + 1]
+                ia = rows[:, b0 + 1 : b0 + 2]
+                y0 = rows[:, b0 + 2 : b0 + 3]
+                y = y0 * chi_phco2(dnu, T_ref[st, 0]) if is_phco2 else y0
+                f = Sia * wofz_re(dnu * ia, y)
+            else:
+                S = rows[:, b0 : b0 + 1]
+                al = rows[:, b0 + 1 : b0 + 2]
+                ga = rows[:, b0 + 2 : b0 + 3]
+                f = _profile_tile(shape, dnu, S, al, ga, T_ref[st, 0])
+            new.append(acc[st] + jnp.where(mask, f, 0.0))
+        return tuple(new)
+
+    def tile_far(rows, dnu, mask, acc):
+        """Far-wing tile: Humlicek region 1 (see `_profile_far` for validity).
+
+        Masked-out lanes may produce inf/NaN (the 1e30 pad sentinel squares
+        past f32 max) — the select discards them before accumulation.
+        """
+        new = []
+        if voigt_far:
+            D = dnu * dnu                      # shared across states
+            for st in range(n_states):
+                b0 = 2 + 7 * st
+                A = rows[:, b0 + 3 : b0 + 4]
+                c1 = rows[:, b0 + 4 : b0 + 5]
+                c2 = rows[:, b0 + 5 : b0 + 6]
+                k2 = rows[:, b0 + 6 : b0 + 7]
+                m = D * A
+                br = c1 - m
+                f = (k2 * (c1 + m)) / (br * br + c2 * D)
+                new.append(acc[st] + jnp.where(mask, f, 0.0))
+        else:  # phco2 family: chi is dnu-dependent, explicit region-1 form
+            for st in range(n_states):
+                b0 = 2 + 3 * st
+                Sia = rows[:, b0 : b0 + 1]
+                ia = rows[:, b0 + 1 : b0 + 2]
+                y0 = rows[:, b0 + 2 : b0 + 3]
+                y = y0 * chi_phco2(dnu, T_ref[st, 0])
+                x = dnu * ia
+                t2r = y * y - x * x
+                t2i = -2.0 * x * y
+                br = 0.5 + t2r
+                d2 = br * br + t2i * t2i
+                wr = 0.5641896 * (y * br - x * t2i) / d2
+                new.append(acc[st] + jnp.where(mask, Sia * wr, 0.0))
+        return tuple(new)
+
+    def sweep(start, cnt, tile_fn, mask_fn, acc):
         start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
         off = start - start_al              # < CHUNK
         end = off + cnt                     # last local line (exclusive)
@@ -261,25 +339,17 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, nu_b_ref,
             # (Mosaic lowers pl.ds on refs; dynamic_slice on values is
             # unimplemented)
             Pt_ref[:, :] = Pk_ref[:, pl.ds(o, CHUNK)].T  # [CHUNK, n_params]
-            g_lo = jnp.maximum(0, (off - c * CHUNK)) // 8
-            g_hi = jnp.minimum(CHUNK // 8, (end - c * CHUNK + 7) // 8)
+            g_lo = jnp.maximum(0, (off - c * CHUNK)) // LG
+            g_hi = jnp.minimum(CHUNK // LG, (end - c * CHUNK + LG - 1) // LG)
 
             def group_body(g, acc):
-                rows = Pt_ref[pl.ds(pl.multiple_of(g * 8, 8), 8), :]  # [8, n_params]
+                rows = Pt_ref[pl.ds(pl.multiple_of(g * LG, LG), LG), :]  # [LG, n_params]
                 nul = rows[:, 0:1]
                 nul_lo = rows[:, 1:2]
-                dnu = (nu_b - nul) + (nu_b_lo - nul_lo)   # [8, B] two-float
-                local = c * CHUNK + g * 8 + iota8
+                dnu = (nu_b - nul) + (nu_b_lo - nul_lo)   # [LG, B] two-float
+                local = c * CHUNK + g * LG + iota_g
                 mask = (local < end) & mask_fn(jnp.abs(dnu))
-                new = []
-                for st in range(n_states):         # static unroll
-                    S = rows[:, 2 + 3 * st : 3 + 3 * st]
-                    al = rows[:, 3 + 3 * st : 4 + 3 * st]
-                    ga = rows[:, 4 + 3 * st : 5 + 3 * st]
-                    f = profile_fn(shape, dnu, S, al, ga, T_ref[st, 0])
-                    contrib = jnp.sum(jnp.where(mask, f, 0.0), axis=0).reshape(1, B)
-                    new.append(acc[st] + contrib)
-                return tuple(new)
+                return tile_fn(rows, dnu, mask, acc)
 
             return jax.lax.fori_loop(g_lo, g_hi, group_body, acc)
 
@@ -291,17 +361,17 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, nu_b_ref,
     if split:
         d_near = dnear_ref[0, 0]
         acc = sweep(
-            start, cnt, _profile_far,
+            start, cnt, tile_far,
             lambda adnu: (adnu <= cut) & (adnu > d_near), acc0,
         )
         acc = sweep(
-            scal_ref[b, 2], scal_ref[b, 3], _profile_tile,
+            scal_ref[b, 2], scal_ref[b, 3], tile_near,
             lambda adnu: adnu <= d_near, acc,
         )
     else:
-        acc = sweep(start, cnt, _profile_tile, lambda adnu: adnu <= cut, acc0)
+        acc = sweep(start, cnt, tile_near, lambda adnu: adnu <= cut, acc0)
     for st in range(n_states):
-        out_ref[st, 0, 0, :] = acc[st][0, :]
+        out_ref[st, 0, 0, :] = jnp.sum(acc[st], axis=0)
 
 
 # VMEM budget for keeping the whole line catalog resident (bytes); beyond
@@ -311,7 +381,7 @@ _RESIDENT_VMEM_LIMIT = 6 * 2**20
 
 def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
                        nu_blocks_hi, nu_blocks_lo, start, count,
-                       lines, T, P, Pp, conc, strategy="auto"):
+                       lines, T, P, Pp, conc, strategy="auto", lgroup=8):
     """Shared traced implementation behind both plan representations.
 
     ``cut/B/n_blocks/slab/n_nu`` are python statics; the per-block arrays
@@ -344,28 +414,55 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
     T2 = T[:, None]
 
     n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
-    resident_bytes = (3 * n_states + 1) * n_lines_pad * 4
+    use_split = shape in _SPLIT_SHAPES and strategy != "nosplit"
+    rows_per_state = 7 if (use_split and shape in ("voigt", "voigt_ref")) else 3
+    resident_bytes = (rows_per_state * n_states + 2) * n_lines_pad * 4
     # the sublane-grouped kernel is the default resident strategy: measured
-    # 4.95x the lane-major kernel on the CO2 bench config (8.05e9 vs 1.63e9
-    # useful evals/s/chip) — per-block work is ceil(cnt/8)*8 lines instead of
-    # ceil(cnt/128)*128, and sparse spectral regions dominate real catalogs.
-    # strategy='lane' keeps the lane-major variant for A/B comparisons.
+    # 4.95x the lane-major kernel on the CO2 bench config — per-block work is
+    # ceil(cnt/8)*8 lines instead of ceil(cnt/128)*128, and sparse spectral
+    # regions dominate real catalogs. strategy='lane' keeps the lane-major
+    # variant for A/B comparisons.
     if (
         strategy in ("auto", "grouped", "nosplit")
         and resident_bytes <= _RESIDENT_VMEM_LIMIT
     ):
         pad_n = n_lines_pad - n_lines
+
+        def row(vals, pad):
+            return jnp.concatenate(
+                [vals, jnp.full((n_states, pad_n), pad, jnp.float32)], axis=1
+            )
+
         nul_full = jnp.concatenate([nu_l, jnp.full((pad_n,), 1e30, jnp.float32)])[None, :]
         nul_lo_full = jnp.concatenate([nu_l_lo, jnp.zeros((pad_n,), jnp.float32)])[None, :]
-        zpad = jnp.zeros((n_states, pad_n), jnp.float32)
-        opad = jnp.ones((n_states, pad_n), jnp.float32)
-        S_full = jnp.concatenate([S, zpad], axis=1)
-        a_full = jnp.concatenate([alpha, opad], axis=1)
-        g_full = jnp.concatenate([gamma, opad], axis=1)
-        rows = [nul_full, nul_lo_full]
+        if shape in _SPLIT_SHAPES:
+            # precompute per-(state, line) profile scalars in XLA: the kernel
+            # loop is vector-ALU bound, and even [lgroup, 1] arithmetic costs
+            # full vreg ops there (see _kernel_resident_grouped docstring).
+            # The *_ref reference convention (alpha -> alpha/sqrt(ln2)) folds
+            # into ia here, so the in-kernel profiles are convention-free.
+            a_eff = alpha * (1.0 / _SQRT_LN2) if shape.endswith("_ref") else alpha
+            ia = 1.0 / a_eff
+            Sia = S * ia * (1.0 / _SQRT_PI)
+            y0 = gamma * ia
+            # pads: Sia/k2 = 0 kill padded-line contributions; the rest are
+            # benign finite values (the 1e30 position sentinel masks them)
+            packed = [row(Sia, 0.0), row(ia, 1.0), row(y0, 1.0)]
+            if rows_per_state == 7:
+                A = ia * ia
+                y2 = y0 * y0
+                packed += [
+                    row(A, 1.0),                        # c0: ia^2
+                    row(0.5 + y2, 1.5),                 # c1
+                    row(4.0 * y2 * A, 4.0),             # c2
+                    row(S * gamma * A * (1.0 / np.pi), 0.0),  # k2
+                ]
+        else:
+            packed = [row(S, 0.0), row(alpha, 1.0), row(gamma, 1.0)]
+        rows_l = [nul_full, nul_lo_full]
         for st in range(n_states):
-            rows += [S_full[st : st + 1], a_full[st : st + 1], g_full[st : st + 1]]
-        Pk = jnp.concatenate(rows, axis=0)  # [2 + 3*n_states, n_lines_pad]
+            rows_l += [p[st : st + 1] for p in packed]
+        Pk = jnp.concatenate(rows_l, axis=0)  # [2 + rows_per_state*n_states, n_lines_pad]
         n_params = Pk.shape[0]
 
         # near/far Humlicek split (see _kernel_resident_grouped/_profile_far):
@@ -374,7 +471,6 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
         # from a traced searchsorted against the block edges (conservative
         # 0.01 cm^-1 margin swallows f32 position rounding — membership is
         # decided exactly in-kernel by the |dnu| <=/> d_near masks).
-        use_split = shape in _SPLIT_SHAPES and strategy != "nosplit"
         if use_split:
             amax = jnp.max(alpha)
             if shape.endswith("_ref"):
@@ -398,9 +494,11 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
             [start, count.astype(jnp.int32), start2, cnt2], axis=1
         )  # [n_blocks, 4] packed per-block SMEM scalars
 
+        if lgroup % 8 != 0 or CHUNK % lgroup != 0:
+            raise ValueError(f"lgroup must divide {CHUNK} and be a multiple of 8, got {lgroup}")
         kern = partial(
             _kernel_resident_grouped, shape, float(cut), n_states, n_params,
-            use_split,
+            use_split, lgroup,
         )
         SEG = 512
         outs = []
@@ -432,7 +530,10 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
         full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
         return full[:, :n_nu]
 
-    if strategy == "lane" and resident_bytes <= _RESIDENT_VMEM_LIMIT:
+    if (
+        strategy == "lane"
+        and (3 * n_states + 2) * n_lines_pad * 4 <= _RESIDENT_VMEM_LIMIT
+    ):
         # pad with far-away line positions (window mask kills them) and zero
         # strengths so out-of-range dynamic slices read inert data
         pad_n = n_lines_pad - n_lines
@@ -528,7 +629,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
     return out.reshape(n_states, n_blocks * B)[:, :n_nu]
 
 
-@partial(jax.jit, static_argnames=("plan", "shape", "interpret", "strategy"))
+@partial(jax.jit, static_argnames=("plan", "shape", "interpret", "strategy", "lgroup"))
 def sigma_from_lines_pallas(
     plan: LineWindowPlan,
     lines,
@@ -539,6 +640,7 @@ def sigma_from_lines_pallas(
     interpret: bool = False,
     conc=None,
     strategy: str = "auto",
+    lgroup: int = 8,
 ):
     """Absorption cross-sections sigma[n_states, n_nu] via the Pallas TPU kernel.
 
@@ -559,11 +661,11 @@ def sigma_from_lines_pallas(
         jnp.asarray(nb_hi),
         jnp.asarray((nb64 - nb_hi.astype(np.float64)).astype(np.float32)),
         jnp.asarray(plan.start, jnp.int32), jnp.asarray(plan.count, jnp.int32),
-        lines, T, P, Pp, conc, strategy=strategy,
+        lines, T, P, Pp, conc, strategy=strategy, lgroup=lgroup,
     )
 
 
-@partial(jax.jit, static_argnames=("shape", "interpret", "strategy"))
+@partial(jax.jit, static_argnames=("shape", "interpret", "strategy", "lgroup"))
 def sigma_from_lines_pallas_device(
     dplan: DeviceWindowPlan,
     lines,
@@ -574,6 +676,7 @@ def sigma_from_lines_pallas_device(
     interpret: bool = False,
     conc=None,
     strategy: str = "auto",
+    lgroup: int = 8,
 ):
     """Pallas line sum over a device-array plan (the sharded path).
 
@@ -593,7 +696,7 @@ def sigma_from_lines_pallas_device(
         shape, interpret, dplan.cut, dplan.block, dplan.n_blocks,
         dplan.slab, dplan.n_nu,
         nb_hi, nb_lo, dplan.start, dplan.count,
-        lines, T, P, Pp, conc, strategy=strategy,
+        lines, T, P, Pp, conc, strategy=strategy, lgroup=lgroup,
     )
 
 

@@ -1,12 +1,13 @@
-"""TPU A/B: grouped line-sum kernel near/far Humlicek split vs single full-w4 sweep.
+"""TPU A/B: sublane line-group height (lgroup) sweep in the grouped kernel.
 
-One session, one process: variant A (strategy="auto") runs the branch-free
-near/far split; variant B (strategy="nosplit") runs the single full-w4 sweep
-(distinct static arg -> distinct jit trace). Timing methodology is
-bench.py's chained-scan with forced readback (remote-attached TPU: dispatch is
-async, block_until_ready does not wait).
+The grouped kernel's inner fori_loop advances ``lgroup`` lines per iteration
+([lgroup, B] tile). lgroup=8 is one vreg of sublanes — finest work
+quantization but one loop-control + accumulate round per 1024 evals, which
+the near/far-split measurements suggest dominates. Larger groups amortize
+the loop at the cost of ceil(cnt/lgroup)*lgroup dense work per window.
+Timing methodology is bench.py's chained-scan with forced readback.
 
-Run:  python scripts/ab_fastpath.py
+Run:  python scripts/ab_lgroup.py
 """
 
 import sys
@@ -27,7 +28,10 @@ from clearsky_tpu.spectra.lines import SpectralLines
 CO2_PAR = "/root/reference/test/HITRAN/CO2.par"
 N_NU = 131072
 N_STATES = 16
-N_CHAIN = 64  # long chain: on-device work must dominate RTT jitter (see bench.py)
+# the grouped kernel is now fast enough that an 8-call chain (~30 ms) is
+# comparable to the relay RTT jitter (+-30 ms) — chain 64 calls so the
+# on-device work dominates the measurement
+N_CHAIN = 64
 
 
 def line_evals(nu_grid, nu_lines, cut):
@@ -36,12 +40,12 @@ def line_evals(nu_grid, nu_lines, cut):
     return int(np.sum(hi - lo))
 
 
-def time_variant(tag, plan, lines, Tj, Pj, Pp, shape, strategy, evals):
+def time_variant(tag, plan, lines, Tj, Pj, Pp, shape, lgroup, evals):
     @jax.jit
     def chained(T0):
         def body(Tc, _):
             s = lp.sigma_from_lines_pallas(
-                plan, lines, Tc, Pj, Pp, shape, strategy=strategy
+                plan, lines, Tc, Pj, Pp, shape, lgroup=lgroup
             )
             return Tc + 1e-30 * s.sum(axis=1), None
 
@@ -77,23 +81,29 @@ def main():
     Pp = 0.95 * P
 
     results = {}
-    for shape, cut in (("voigt", 25.0), ("phco2", 500.0)):
+    for shape, cut, groups in (
+        ("voigt", 25.0, (8, 16, 32, 64)),
+        ("phco2", 500.0, (8, 32)),
+    ):
         nu = np.linspace(nu_l.min() - cut, nu_l.max() + cut, N_NU)
         plan = build_line_window_plan(nu, nu_l, cut, block=128)
         evals = line_evals(nu, nu_l, cut) * N_STATES
 
-        # A: near/far split (default), B: single full-w4 sweep
-        sA = np.asarray(lp.sigma_from_lines_pallas(plan, lines, T, P, Pp, shape, strategy="auto"))
-        rA = time_variant(f"{shape} split", plan, lines, T, P, Pp, shape, "auto", evals)
-        sB = np.asarray(lp.sigma_from_lines_pallas(plan, lines, T, P, Pp, shape, strategy="nosplit"))
-        rB = time_variant(f"{shape} full ", plan, lines, T, P, Pp, shape, "nosplit", evals)
+        ref = None
+        for lg in groups:
+            s = np.asarray(
+                lp.sigma_from_lines_pallas(plan, lines, T, P, Pp, shape, lgroup=lg)
+            )
+            if ref is None:
+                ref = s
+            else:
+                denom = np.maximum(np.abs(ref), np.abs(ref).max(axis=1, keepdims=True) * 1e-12)
+                print(f"[{shape} lg={lg}] max rel diff vs lg=8: {np.nanmax(np.abs(s - ref) / denom):.2e}", flush=True)
+            r = time_variant(f"{shape} lg={lg}", plan, lines, T, P, Pp, shape, lg, evals)
+            results[(shape, lg)] = r
 
-        denom = np.maximum(np.abs(sB), np.abs(sB).max(axis=1, keepdims=True) * 1e-12)
-        reldiff = float(np.nanmax(np.abs(sA - sB) / denom))
-        print(f"[{shape}] A/B speedup {rA/rB:.2f}x, max rel diff fast-vs-full {reldiff:.2e}", flush=True)
-        results[shape] = (rA, rB, reldiff)
-
-    print(results)
+    for k, v in sorted(results.items()):
+        print(f"{k}: {v:.3e}")
 
 
 if __name__ == "__main__":
