@@ -364,7 +364,9 @@ def _state_group(n_lines: int, slab: int) -> int:
 
     slab_pad = -(-max(1, slab) // CHUNK) * CHUNK
     n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
-    max_states = (_RESIDENT_VMEM_LIMIT // (4 * n_lines_pad) - 2) // 7
+    # the pre-transposed pack charges n_params lane-padded to a 128 multiple
+    lanes = (_RESIDENT_VMEM_LIMIT // (4 * n_lines_pad) // 128) * 128
+    max_states = (lanes - 2) // 7
     return int(np.clip(max_states, GROUP, GROUP_MAX))
 
 

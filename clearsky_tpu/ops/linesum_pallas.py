@@ -209,9 +209,9 @@ def _kernel_resident(shape, cut, n_states, nu_b_ref, nu_b_lo_ref, nul_ref,
 
 
 def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
-                             nu_b_ref, nu_b_lo_ref, Pk_ref, scal_ref,
-                             dnear_ref, T_ref, out_ref, Pt_ref):
-    """Sublane-grouped resident variant: points on LANES, 8-line groups on
+                             pret, nu_b_ref, nu_b_lo_ref, Pk_ref, scal_ref,
+                             dnear_ref, T_ref, out_ref, Pt_ref=None):
+    """Sublane-grouped resident variant: points on LANES, line groups on
     SUBLANES.
 
     The lane-major kernel's minimum work is one 128-line chunk per point
@@ -222,10 +222,19 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
     bench grid (lgroup=8; hardware sweep showed larger groups lose more to
     quantization than they gain in loop amortization).
 
-    Per 128-line chunk the packed parameter matrix Pk[n_params, 128] is
-    transposed ONCE to [128, n_params]; line groups are then 8-aligned
-    sublane slices and the per-group per-state parameter columns are
-    [lgroup, 1] broadcasts — no per-group relayouts.
+    Two pack layouts, chosen statically by ``pret`` (measured within ~10%
+    of each other; each wins somewhere, so the dispatcher picks per shape):
+
+      * ``pret=True``: the parameter matrix arrives PRE-TRANSPOSED from XLA
+        as Pk[n_lines_pad, n_params] — lines on sublanes — so each group is
+        one 8-aligned sublane slice; no in-kernel relayouts at all, at the
+        cost of lane-padding n_params to a 128 multiple in VMEM. Fastest
+        for the dense phco2 windows and the single-sweep shapes (+9% over
+        chunked on the CO2 bench).
+      * ``pret=False``: lane-major Pk[n_params, n_lines_pad]; each 128-line
+        chunk is transposed once into the Pt scratch and groups slice the
+        scratch. Fastest for the split voigt sweep pair (+10% over pret on
+        the CO2 bench — mechanism unclear, empirically robust).
 
     The kernel is vector-ALU-issue bound (probe decomposition in
     scripts/probe_kernel_overhead.py), so parameter rows carry values
@@ -327,10 +336,38 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
                 new.append(acc[st] + jnp.where(mask, Sia * wr, 0.0))
         return tuple(new)
 
-    def sweep(start, cnt, tile_fn, mask_fn, acc):
+    def group_step(rows, local, end, mask_fn, tile_fn, acc):
+        nul = rows[:, 0:1]
+        nul_lo = rows[:, 1:2]
+        dnu = (nu_b - nul) + (nu_b_lo - nul_lo)   # [LG, B] two-float
+        mask = (local < end) & mask_fn(jnp.abs(dnu))
+        return tile_fn(rows, dnu, mask, acc)
+
+    def sweep_pret(start, cnt, tile_fn, mask_fn, acc):
+        # sublane-dim dynamic slices need 8-multiple offsets; LG is a
+        # multiple of 8 and start aligns down to LG, so every group offset
+        # is provably aligned. Lead-in lines from the alignment are outside
+        # every point's window (start was the searchsorted lower bound), so
+        # the |dnu| mask kills them — same invariant the lane kernel uses.
+        start_al = pl.multiple_of((start // LG) * LG, LG)
+        off = start - start_al              # < LG
+        # empty windows must stay empty: the alignment slack alone would
+        # otherwise walk one fully-masked group (common in the near sweep,
+        # where most blocks have no core-region lines)
+        end = jnp.where(cnt == 0, 0, off + cnt)  # last local line (exclusive)
+
+        def group_body(g, acc):
+            o = pl.multiple_of(start_al + g * LG, LG)
+            rows = Pk_ref[pl.ds(o, LG), :]            # [LG, n_params]
+            return group_step(rows, g * LG + iota_g, end, mask_fn, tile_fn, acc)
+
+        ngroups = (end + LG - 1) // LG
+        return jax.lax.fori_loop(0, ngroups, group_body, acc)
+
+    def sweep_chunked(start, cnt, tile_fn, mask_fn, acc):
         start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
         off = start - start_al              # < CHUNK
-        end = off + cnt                     # last local line (exclusive)
+        end = jnp.where(cnt == 0, 0, off + cnt)
 
         def chunk_body(c, acc):
             o = pl.multiple_of(start_al + c * CHUNK, CHUNK)
@@ -343,18 +380,16 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
             g_hi = jnp.minimum(CHUNK // LG, (end - c * CHUNK + LG - 1) // LG)
 
             def group_body(g, acc):
-                rows = Pt_ref[pl.ds(pl.multiple_of(g * LG, LG), LG), :]  # [LG, n_params]
-                nul = rows[:, 0:1]
-                nul_lo = rows[:, 1:2]
-                dnu = (nu_b - nul) + (nu_b_lo - nul_lo)   # [LG, B] two-float
+                rows = Pt_ref[pl.ds(pl.multiple_of(g * LG, LG), LG), :]
                 local = c * CHUNK + g * LG + iota_g
-                mask = (local < end) & mask_fn(jnp.abs(dnu))
-                return tile_fn(rows, dnu, mask, acc)
+                return group_step(rows, local, end, mask_fn, tile_fn, acc)
 
             return jax.lax.fori_loop(g_lo, g_hi, group_body, acc)
 
         nchunks = (end + CHUNK - 1) // CHUNK
         return jax.lax.fori_loop(0, nchunks, chunk_body, acc)
+
+    sweep = sweep_pret if pret else sweep_chunked
 
     start = scal_ref[b, 0]
     cnt = scal_ref[b, 1]
@@ -415,8 +450,17 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
 
     n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
     use_split = shape in _SPLIT_SHAPES and strategy != "nosplit"
-    rows_per_state = 7 if (use_split and shape in ("voigt", "voigt_ref")) else 3
-    resident_bytes = (rows_per_state * n_states + 2) * n_lines_pad * 4
+    voigt_split = use_split and shape in ("voigt", "voigt_ref")
+    rows_per_state = 7 if voigt_split else 3
+    # layout per shape (see _kernel_resident_grouped): split voigt keeps the
+    # lane-major chunked-transpose pack; everything else pre-transposes in
+    # XLA ([n_lines_pad, n_params], charging lane padding to a 128 multiple)
+    pret = not voigt_split
+    n_params_grouped = rows_per_state * n_states + 2
+    if pret:
+        resident_bytes = n_lines_pad * (-(-n_params_grouped // 128) * 128) * 4
+    else:
+        resident_bytes = n_lines_pad * n_params_grouped * 4
     # the sublane-grouped kernel is the default resident strategy: measured
     # 4.95x the lane-major kernel on the CO2 bench config — per-block work is
     # ceil(cnt/8)*8 lines instead of ceil(cnt/128)*128, and sparse spectral
@@ -462,8 +506,12 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
         rows_l = [nul_full, nul_lo_full]
         for st in range(n_states):
             rows_l += [p[st : st + 1] for p in packed]
-        Pk = jnp.concatenate(rows_l, axis=0)  # [2 + rows_per_state*n_states, n_lines_pad]
+        Pk = jnp.concatenate(rows_l, axis=0)  # [n_params, n_lines_pad]
         n_params = Pk.shape[0]
+        if pret:
+            # pre-transpose in XLA: [n_lines_pad, n_params], lines on
+            # sublanes — group slices are plain 8-aligned sublane reads
+            Pk = Pk.T
 
         # near/far Humlicek split (see _kernel_resident_grouped/_profile_far):
         # d_near = 15*max(alpha) bounds the region where the full w4 is
@@ -498,7 +546,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
             raise ValueError(f"lgroup must divide {CHUNK} and be a multiple of 8, got {lgroup}")
         kern = partial(
             _kernel_resident_grouped, shape, float(cut), n_states, n_params,
-            use_split, lgroup,
+            use_split, lgroup, pret,
         )
         SEG = 512
         outs = []
@@ -511,7 +559,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
                 in_specs=[
                     pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # Pk, resident
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # Pk/PkT, resident
                     pl.BlockSpec(memory_space=pltpu.SMEM),  # packed per-block scalars
                     pl.BlockSpec(memory_space=pltpu.SMEM),  # d_near
                     pl.BlockSpec(memory_space=pltpu.SMEM),  # T
@@ -520,7 +568,9 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
                     (n_states, 1, 1, B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
                 ),
                 out_shape=jax.ShapeDtypeStruct((n_states, seg, 1, B), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((CHUNK, n_params), jnp.float32)],
+                scratch_shapes=(
+                    [] if pret else [pltpu.VMEM((CHUNK, n_params), jnp.float32)]
+                ),
                 interpret=interpret,
             )(
                 nu_blocks[a:b], nu_blocks_lo[a:b], Pk,

@@ -120,13 +120,19 @@ def test_state_group_scales_with_catalog(co2):
     assert _state_group(600, 128) == GROUP_MAX        # tiny catalog: cap
     assert _state_group(2_000_000, 128) == GROUP      # huge catalog: floor
     # mid-size: exactly the resident budget (between floor and cap), sized
-    # for the widest pack (7 rows/state: split Voigt far coefficients)
+    # for the widest pack (7 rows/state: split Voigt far coefficients),
+    # lane-padded to 128 params (the pre-transposed [lines, params] layout)
     n_lines = 7_000
     g = _state_group(n_lines, 256)
     n_pad = -(-(n_lines + 256 + CHUNK) // 128) * 128
+
+    def bytes_for(n_states):
+        lanes = -(-(7 * n_states + 2) // 128) * 128
+        return n_pad * lanes * 4
+
     assert GROUP < g < GROUP_MAX
-    assert (7 * g + 2) * n_pad * 4 <= _RESIDENT_VMEM_LIMIT
-    assert (7 * (g + 1) + 2) * n_pad * 4 > _RESIDENT_VMEM_LIMIT
+    assert bytes_for(g) <= _RESIDENT_VMEM_LIMIT
+    assert bytes_for(g + 1) > _RESIDENT_VMEM_LIMIT
 
 
 def test_pallas_wide_state_batch_matches_oracle(co2):
