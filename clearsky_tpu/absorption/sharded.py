@@ -234,8 +234,11 @@ def shard_line_gas(gas, n_shards: int, block: int | None = None) -> ShardedLineG
         nus = nu[s * n_local : (s + 1) * n_local]
         a = int(np.searchsorted(nu_l, nus[0] - cut, side="left"))
         b = int(np.searchsorted(nu_l, nus[-1] + cut, side="right"))
-        b = max(b, a + 1)  # keep one (count-masked) line for static shapes
+        # lineless shards (grid extending > cut beyond the catalog) keep one
+        # count-masked line for static shapes; clamp a BEFORE widening b so a
+        # shard above the whole catalog (a == b == n_lines) stays in range
         a = min(a, len(nu_l) - 1)
+        b = max(b, a + 1)
         bounds.append((a, b))
         plans.append(build_line_window_plan(nus, nu_l[a:b], cut, block=block))
 

@@ -68,6 +68,23 @@ def test_sharded_gas_matches_direct(co2_lines):
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=ref.max() * 1e-15)
 
 
+def test_sharded_gas_lineless_shards(co2_lines):
+    # grid extending far beyond the catalog on BOTH ends: the bottom and top
+    # shards contain no lines at all (a == b == 0 / == n_lines in the slab
+    # search) — regression for the b = max(b, a+1) clamp running before the
+    # a = min(a, n-1) clamp, which indexed past the catalog
+    nu_l = np.asarray(co2_lines.nu)
+    span = nu_l.max() - nu_l.min()
+    nu = np.linspace(max(nu_l.min() - 2 * span, 1.0), nu_l.max() + 2 * span, N_NU)
+    gas = DirectGas.from_lines(co2_lines, 0.9, nu)
+    sg = shard_line_gas(gas, 8)
+    T = jnp.asarray([220.0, 300.0])
+    P = jnp.asarray([1e3, 5e4])
+    ref = np.asarray(gas.raw_sigma(T, P))
+    got = np.asarray(sg.raw_sigma(T, P))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=ref.max() * 1e-15)
+
+
 def test_sharded_multigas_matches(co2_lines, h2o_lines):
     nu = _grid(co2_lines)
     mg = MultiGas.from_lines([(co2_lines, 0.3), (h2o_lines, 0.01)], nu)
