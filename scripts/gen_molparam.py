@@ -9,6 +9,18 @@ and Chebyshev fits of Q(T)/Qref on T in [25, 1000] K. This script parses that
 ``clearsky_tpu/spectra/molparam_data.npz`` for device-resident use.
 
 Run once:  python scripts/gen_molparam.py [path-to-molparam.jl]
+
+Regenerating from PRIMARY sources instead (preferred when network access
+exists): fetch the per-isotopologue TIPS files ``hitran.org/data/Q/q<N>.txt``
+and the molecule/isotopologue metadata tables (``docs/molec-meta``,
+``docs/iso-meta``), fit Chebyshev polynomials to Qref/Q(T) on T in
+[25, 1000] K to <= 5e-3 max relative error (adding terms until it holds,
+as the reference's offline fit does), and write the same npz fields
+(``iso_mol``, ``iso_abundance``, ``iso_mu``, ``iso_gi``, ``tips_coeffs``,
+``iso_row``). This environment has no egress and ships no Q files, so the
+extraction above is the only available path here; the fits themselves are
+property-tested in tests/test_molparam.py (monotone Q, abundance sums,
+Qref consistency).
 """
 
 from __future__ import annotations
