@@ -19,8 +19,9 @@ as the reference's offline fit does), and write the same npz fields
 (``iso_mol``, ``iso_abundance``, ``iso_mu``, ``iso_gi``, ``tips_coeffs``,
 ``iso_row``). This environment has no egress and ships no Q files, so the
 extraction above is the only available path here; the fits themselves are
-property-tested in tests/test_molparam.py (monotone Q, abundance sums,
-Qref consistency).
+property-tested in tests/test_lineshapes.py::test_tips_chebyshev_sane
+(Qref/Q(296 K) ~ 1, Q monotone in T) and tests/test_spectra.py (Qref
+golden values).
 """
 
 from __future__ import annotations
