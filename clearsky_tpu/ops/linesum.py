@@ -357,8 +357,9 @@ def _state_group(n_lines: int, slab: int) -> int:
     coefficients, see ``linesum_pallas._pallas_sigma_impl``); a fixed small
     group would split a deep column (e.g. 200 RCM levels) into a long chain
     of sequential kernel calls even when the catalog is small enough to
-    batch far more states per call. Large catalogs fall back to GROUP so
-    the gathered-slab path's per-call footprint stays bounded.
+    batch far more states per call. Large catalogs stay at GROUP — they run
+    catalog-segmented (see ``linesum_pallas``), and fewer states per call
+    means longer (fewer) line segments within the same VMEM budget.
     """
     from .linesum_pallas import CHUNK, _RESIDENT_VMEM_LIMIT
 

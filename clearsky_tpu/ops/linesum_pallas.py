@@ -410,8 +410,112 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
 
 
 # VMEM budget for keeping the whole line catalog resident (bytes); beyond
-# this the gathered-slab fallback runs instead.
+# this the static-plan wrapper splits the catalog into resident-sized
+# segments (see _segment_cap / sigma_from_lines_pallas) and only the
+# device-plan (sharded) path falls back to XLA-gathered slabs.
 _RESIDENT_VMEM_LIMIT = 6 * 2**20
+
+
+def _grouped_lane_cost(shape: str, strategy: str, n_states: int) -> int:
+    """Per-line VMEM cost (in f32 lanes) of the grouped kernel's pack.
+
+    Mirrors the layout choice in ``_pallas_sigma_impl``: the split Voigt pack
+    is lane-major ([n_params, n_lines_pad]), everything else is
+    pre-transposed and charges its parameter count lane-padded to a 128
+    multiple.
+    """
+    use_split = shape in _SPLIT_SHAPES and strategy != "nosplit"
+    voigt_split = use_split and shape in ("voigt", "voigt_ref")
+    n_params = (7 if voigt_split else 3) * n_states + 2
+    return n_params if voigt_split else -(-n_params // 128) * 128
+
+
+def _resident_bytes_est(n_lines: int, slab: int, lane_cost: int) -> int:
+    slab_pad = -(-max(1, slab) // CHUNK) * CHUNK
+    n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
+    return n_lines_pad * lane_cost * 4
+
+
+def _segment_cap(shape: str, strategy: str, n_states: int, limit: int,
+                 slab: int) -> int:
+    """Largest CHUNK-multiple segment length whose WORST-CASE resident pack
+    fits in ``limit`` (per-segment slab can reach min(global slab, segment
+    length) — both bounds are exact upper bounds on any clipped count)."""
+    lane_cost = _grouped_lane_cost(shape, strategy, n_states)
+    L = (limit // (4 * lane_cost) // CHUNK) * CHUNK
+    while L >= CHUNK:
+        if _resident_bytes_est(L, min(slab, L), lane_cost) <= limit:
+            return L
+        L -= CHUNK
+    return 0
+
+
+# per-line leaves of a SpectralLines catalog (tips_coeffs is a shared table)
+_PER_LINE_FIELDS = (
+    "nu", "nu_lo", "S", "ga", "gs", "Epp", "na", "mu", "A", "iso", "iso_ptr"
+)
+
+
+def _slice_lines_seg(lines, a: int, b: int):
+    import dataclasses
+
+    return dataclasses.replace(
+        lines, **{f: getattr(lines, f)[a:b] for f in _PER_LINE_FIELDS}
+    )
+
+
+def _pallas_sigma_segmented(shape, interpret, plan, lines, T, P, Pp, conc,
+                            strategy, lgroup, L_seg):
+    """Catalog-segmented grouped evaluation for plans too large to reside.
+
+    The line axis is cut into ``L_seg``-length segments; each segment is a
+    contiguous sub-catalog small enough for the fast VMEM-resident grouped
+    kernel, evaluated over only the contiguous block range whose windows
+    intersect it (plans are monotone: sorted lines x sorted blocks), and the
+    overlapping per-segment outputs are summed. This replaces the
+    XLA-gathered fallback for large static-plan catalogs — full-HITRAN-scale
+    line lists run at near-resident speed instead of paying ~75% of wall
+    clock in slab gathers. Exactness: each (block, line) window pair lands in
+    exactly one segment; the in-kernel |dnu| masks (cut, near/far) partition
+    identically to the single-call kernel, with d_near computed from each
+    segment's own max(alpha) (any d_near >= 15*alpha keeps Humlicek region 1
+    valid for the far sweep, see ``_profile_far``).
+    """
+    start = np.asarray(plan.start, np.int64)
+    end = start + np.asarray(plan.count, np.int64)
+    n_lines = lines.nu.shape[0]
+    B = plan.block
+    nb64 = np.asarray(plan.nu_blocks, np.float64)
+    nb_hi = nb64.astype(np.float32)
+    nb_lo = (nb64 - nb_hi.astype(np.float64)).astype(np.float32)
+
+    out = None
+    for a in range(0, n_lines, L_seg):
+        b = min(n_lines, a + L_seg)
+        s_c = np.clip(start, a, b)
+        c_s = (np.clip(end, a, b) - s_c).astype(np.int32)
+        nz = np.nonzero(c_s > 0)[0]
+        if nz.size == 0:
+            continue
+        blo, bhi = int(nz[0]), int(nz[-1]) + 1
+        n_nu_seg = min((bhi - blo) * B, plan.n_nu - blo * B)
+        sig = _pallas_sigma_impl(
+            shape, interpret, float(plan.cut), B, bhi - blo,
+            int(c_s[blo:bhi].max()), n_nu_seg,
+            jnp.asarray(nb_hi[blo:bhi]), jnp.asarray(nb_lo[blo:bhi]),
+            jnp.asarray((s_c - a)[blo:bhi].astype(np.int32)),
+            jnp.asarray(c_s[blo:bhi]),
+            _slice_lines_seg(lines, a, b), T, P, Pp,
+            None if conc is None else conc[..., a:b],
+            strategy=strategy, lgroup=lgroup,
+        )
+        if out is None:
+            out = jnp.zeros((sig.shape[0], plan.n_nu), jnp.float32)
+        out = out.at[:, blo * B : blo * B + n_nu_seg].add(sig)
+    if out is None:  # no block window contains any line
+        n_states = jnp.atleast_1d(jnp.asarray(T)).shape[0]
+        out = jnp.zeros((n_states, plan.n_nu), jnp.float32)
+    return out
 
 
 def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
@@ -679,7 +783,11 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
     return out.reshape(n_states, n_blocks * B)[:, :n_nu]
 
 
-@partial(jax.jit, static_argnames=("plan", "shape", "interpret", "strategy", "lgroup"))
+@partial(
+    jax.jit,
+    static_argnames=("plan", "shape", "interpret", "strategy", "lgroup",
+                     "resident_limit"),
+)
 def sigma_from_lines_pallas(
     plan: LineWindowPlan,
     lines,
@@ -691,6 +799,7 @@ def sigma_from_lines_pallas(
     conc=None,
     strategy: str = "auto",
     lgroup: int = 8,
+    resident_limit: int | None = None,
 ):
     """Absorption cross-sections sigma[n_states, n_nu] via the Pallas TPU kernel.
 
@@ -698,11 +807,27 @@ def sigma_from_lines_pallas(
     1-D state batches (T, P, Pp of shape [n_states]). Set ``interpret=True``
     to run the kernel in interpreter mode off-TPU (used by the CPU test suite).
 
-    Two execution strategies, chosen by catalog size: small catalogs stay
-    fully VMEM-resident and each block dynamically slices its contiguous line
-    window in-kernel (no materialized slabs); large catalogs fall back to
-    XLA-gathered per-block slabs.
+    Execution strategies, chosen by catalog size: small catalogs stay fully
+    VMEM-resident (sublane-grouped kernel); catalogs too large to reside are
+    SEGMENTED along the line axis and each resident-sized segment runs the
+    same grouped kernel over its intersecting block range (overlapping
+    outputs summed) — full-HITRAN-scale line lists keep near-resident
+    throughput. ``strategy="gathered"`` forces the XLA-gathered per-block
+    slab fallback (A/B baseline); ``resident_limit`` overrides the VMEM
+    budget (testing).
     """
+    limit = _RESIDENT_VMEM_LIMIT if resident_limit is None else int(resident_limit)
+    if strategy in ("auto", "grouped", "nosplit"):
+        n_states = jnp.atleast_1d(jnp.asarray(T)).shape[0]
+        n_lines = lines.nu.shape[0]
+        lane_cost = _grouped_lane_cost(shape, strategy, n_states)
+        if _resident_bytes_est(n_lines, plan.slab, lane_cost) > limit:
+            L_seg = _segment_cap(shape, strategy, n_states, limit, plan.slab)
+            if L_seg >= CHUNK and n_lines > L_seg:
+                return _pallas_sigma_segmented(
+                    shape, interpret, plan, lines, T, P, Pp, conc,
+                    strategy, lgroup, L_seg,
+                )
     nb64 = np.asarray(plan.nu_blocks, np.float64)
     nb_hi = nb64.astype(np.float32)
     return _pallas_sigma_impl(

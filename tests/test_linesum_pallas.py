@@ -135,6 +135,37 @@ def test_state_group_scales_with_catalog(co2):
     assert bytes_for(g + 1) > _RESIDENT_VMEM_LIMIT
 
 
+@pytest.mark.parametrize("shape,cut,limit", [
+    ("voigt", 25.0, 32 * 1024),    # lane-major split pack, 5 segments
+    ("phco2", 500.0, 256 * 1024),  # pre-transposed pack, wide windows
+])
+def test_segmented_matches_resident(co2, shape, cut, limit):
+    """Catalog segmentation (large-catalog path) must reproduce the
+    single-call resident kernel: each (block, line) window pair lands in
+    exactly one segment, so only the summation order and the per-segment
+    near/far boundary (d_near = 15*max(alpha) over the segment) differ."""
+    from clearsky_tpu.ops.linesum_pallas import (
+        _grouped_lane_cost, _resident_bytes_est, _segment_cap, CHUNK,
+    )
+
+    nu = np.linspace(610.0, 780.0, 512)
+    plan = build_line_window_plan(nu, np.asarray(co2.nu), cut, block=128)
+    T = jnp.asarray([220.0, 300.0])
+    P = jnp.asarray([5e2, 8e4])
+    # the forced budget must actually trigger segmentation for this fixture
+    lane_cost = _grouped_lane_cost(shape, "auto", 2)
+    assert _resident_bytes_est(co2.nu.shape[0], plan.slab, lane_cost) > limit
+    assert _segment_cap(shape, "auto", 2, limit, plan.slab) >= CHUNK
+    res = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, 0.5 * P, shape, interpret=True))
+    seg = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, 0.5 * P, shape, interpret=True, resident_limit=limit))
+    ref = np.asarray(sigma_from_lines(plan, co2, T, P, 0.5 * P, shape))
+    m = np.abs(ref) > 1e-35
+    np.testing.assert_allclose(seg[m], res[m], rtol=1e-4, atol=0.0)
+    np.testing.assert_allclose(seg[m], ref[m], rtol=2e-3, atol=1e-32)
+
+
 def test_pallas_wide_state_batch_matches_oracle(co2):
     """A state batch at the unroll cap (the adaptive group size for small
     catalogs) through the grouped kernel matches the f64 oracle."""
