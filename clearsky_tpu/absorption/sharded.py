@@ -38,14 +38,14 @@ from ..ops.linesum import (
     build_line_window_plan,
     sigma_from_lines_auto_device,
 )
-from ..spectra.lines import SpectralLines
+from ..spectra.lines import SpectralLines, PER_LINE_FIELDS
 from .gas import AbstractGas, DirectGas, MultiGas
 
 __all__ = ["ShardedLineGas", "shard_line_gas"]
 
 _PAD = 128  # line-slab length alignment (the Pallas kernel's CHUNK)
 
-_LINE_FIELDS = ("nu", "nu_lo", "S", "ga", "gs", "Epp", "na", "mu", "A", "iso", "iso_ptr")
+_LINE_FIELDS = PER_LINE_FIELDS  # canonical list lives on spectra.lines
 # inert padding: far-away position (window mask kills it), zero strength,
 # harmless broadening parameters, valid TIPS row
 _PAD_VALUES = dict(
@@ -217,7 +217,13 @@ def shard_line_gas(gas, n_shards: int, block: int | None = None) -> ShardedLineG
         )
     if not isinstance(gas, (DirectGas, MultiGas)):
         raise TypeError("shard_line_gas requires a DirectGas or MultiGas")
-    nu = np.asarray(gas.nu, np.float64)
+    # rebuild from the PLAN's grid, not gas.nu: the device array is f32 when
+    # x64 is off (always on TPU), and f32-rounded block positions (~5e-4
+    # cm^-1 at 1e4 cm^-1) shift the per-shard plans' two-float block centers
+    # off the static plan's — flipping line membership at the |dnu| = cut
+    # boundary and biasing deep-wing sigma by O(10%) of its (tiny) value. The
+    # plan keeps the constructor's float64 grid exactly for this purpose.
+    nu = np.asarray(gas.plan.nu, np.float64)
     n_nu = len(nu)
     if n_nu % n_shards != 0:
         raise ValueError(

@@ -20,9 +20,10 @@ the same accuracy class as the reference's Algorithm-985 dependency.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["wofz_re", "wofz_re_im"]
+__all__ = ["wofz_re", "wofz_re_im", "wofz_re_kernel"]
 
 _SQRT_PI = 1.7724538509055159
 _Y_SMALL = 0.01  # switch to the Taylor-off-axis real part below this y
@@ -51,7 +52,7 @@ def _cpoly(coeffs, tr, ti):
     return pr, pi
 
 
-def wofz_re_im(x, y):
+def _wofz_re_im_impl(x, y):
     """Real and imaginary parts of w(z) = exp(-z^2) erfc(-iz) for z = x + iy, y >= 0.
 
     Humlicek (1982) w4 algorithm, evaluated branch-free over all regions.
@@ -145,11 +146,72 @@ def wofz_re_im(x, y):
     return wr, wi
 
 
+@jax.custom_jvp
+def wofz_re_im(x, y):
+    """Real and imaginary parts of w(z), with an exact overflow-proof JVP.
+
+    Differentiating the w4 rationals is a float32 trap: the quotient rule
+    squares region 1's denominator (~|z|^4 -> |z|^8), which overflows for
+    the far-wing arguments of narrow low-wavenumber lines (|x| = cut/alpha
+    can reach 1e7) — the PRIMAL survives only because the two-division form
+    never materializes d^2 (see _cdiv). Instead of linearizing the
+    approximation, differentiate the true function: the Faddeeva ODE
+    w'(z) = -2 z w(z) + 2i/sqrt(pi) gives the tangent from w itself with
+    O(|w|) intermediates at any |z| (w -> 0 as |z| grows, so x*w stays
+    bounded). Exact to the accuracy of w, stable everywhere.
+    """
+    return _wofz_re_im_impl(x, y)
+
+
+@wofz_re_im.defjvp
+def _wofz_re_im_jvp(primals, tangents):
+    x, y = primals
+    dx, dy = tangents
+    wr, wi = wofz_re_im(x, y)
+    # ODE form, from the computed w. NOT usable in the far wings: there
+    # w ~ i/(sqrt(pi) z), so x*wr - y*wi cancels exactly at leading order and
+    # the w4 approximation error (~1e-4) is amplified by ~|z|^2 — a measured
+    # 5x-wrong far-wing Jacobian entry at |z| ~ 30.
+    re_ode = -2.0 * (x * wr - y * wi)
+    im_ode = -2.0 * (x * wi + y * wr) + 2.0 / _SQRT_PI
+    # far wings: w'(z) = -(i/sqrt(pi)) u (1 + 3/2 u + 15/4 u^2 + 105/8 u^3),
+    # u = 1/z^2 — the exact asymptotic derivative, cancellation-free, and
+    # float32-safe at any |z| (|z|^2 <= 1.6e15 at |x| ~ 4e7; u underflows
+    # harmlessly to 0; truncation <= 4e-5 rel at the s = 6 switch, shrinking
+    # as |z|^8). The exponentially small e^{-z^2} part of w is < 2e-16 of
+    # the wing magnitude at s >= 6 and is rightly dropped.
+    z2r = x * x - y * y
+    z2i = 2.0 * x * y
+    ur, ui = _cdiv(jnp.ones_like(x), jnp.zeros_like(x), z2r, z2i)
+    pr, pi = _cpoly([13.125, 3.75, 1.5, 1.0], ur, ui)
+    sr, si = _cmul(ur, ui, pr, pi)
+    far = (jnp.abs(x) + y) >= 6.0
+    re_wp = jnp.where(far, si * (1.0 / _SQRT_PI), re_ode)
+    im_wp = jnp.where(far, -sr * (1.0 / _SQRT_PI), im_ode)
+    # dw = w'(z) (dx + i dy)
+    dwr = re_wp * dx - im_wp * dy
+    dwi = im_wp * dx + re_wp * dy
+    return (wr, wi), (dwr, dwi)
+
+
 def wofz_re(x, y):
     """Real part of the Faddeeva function w(x + iy), y >= 0.
 
     Drop-in equivalent of the reference's ``faddeyeva(x, y)`` call
-    (ref line_shapes.jl:375), vectorized and branch-free.
+    (ref line_shapes.jl:375), vectorized and branch-free. Differentiable
+    (overflow-proof custom JVP; see ``wofz_re_im``).
     """
     wr, _ = wofz_re_im(x, y)
+    return wr
+
+
+def wofz_re_kernel(x, y):
+    """Plain (no custom-JVP wrapper) real part, for Pallas kernel bodies.
+
+    Mosaic never differentiates kernels (the line-sum kernel carries its own
+    custom JVP routing tangents through the jnp oracle), and keeping the
+    kernel path free of custom_jvp_call primitives avoids relying on their
+    lowering inside Pallas.
+    """
+    wr, _ = _wofz_re_im_impl(x, y)
     return wr

@@ -242,23 +242,47 @@ def sigma_from_lines(
     """
     T = jnp.asarray(T)
     S, alpha, gamma = _line_params(lines, T, P, Pp, conc=conc)
+    if S.dtype == jnp.float32:
+        # float32 environment (x64 disabled, e.g. TPU): carry the two-float
+        # position residuals so the oracle's dnu matches float64 to ~1e-7
+        # cm^-1 — this path is also the tangent rule of the Pallas kernel's
+        # custom JVP, so Jacobians near line cores need it as much as the
+        # kernel's own primal does (see linesum_pallas)
+        nb64 = np.asarray(plan.nu_blocks, np.float64)
+        nb_hi = nb64.astype(np.float32)
+        nu_blocks = jnp.asarray(nb_hi)
+        nu_blocks_lo = jnp.asarray((nb64 - nb_hi.astype(np.float64)).astype(np.float32))
+        nu_l_lo = jnp.asarray(lines.nu_lo, jnp.float32)
+    else:
+        nu_blocks = jnp.asarray(plan.nu_blocks, dtype=S.dtype)
+        nu_blocks_lo = None
+        nu_l_lo = None
     return _sigma_blocks(
-        shape, T, S, alpha, gamma, lines.nu,
-        jnp.asarray(plan.nu_blocks, dtype=S.dtype),
+        shape, T, S, alpha, gamma, lines.nu, nu_l_lo,
+        nu_blocks, nu_blocks_lo,
         jnp.asarray(plan.start), jnp.asarray(plan.count),
         plan.cut, plan.slab, plan.n_blocks, plan.block, plan.n_nu, batch_blocks,
     )
 
 
-def _sigma_blocks(shape, T, S, alpha, gamma, nu_l, nu_blocks, starts, counts,
+def _sigma_blocks(shape, T, S, alpha, gamma, nu_l, nu_l_lo, nu_blocks,
+                  nu_blocks_lo, starts, counts,
                   cut, slab, n_blocks, block, n_nu, batch_blocks):
-    """Shared block-banded contraction over (nu_blocks, starts, counts)."""
+    """Shared block-banded contraction over (nu_blocks, starts, counts).
+
+    ``nu_l_lo``/``nu_blocks_lo`` are the float32 position residuals (two-float
+    dnu, as in the Pallas kernel) — pass None in float64 environments, where a
+    single subtraction is already exact to ~1e-10 cm^-1.
+    """
     profile = PROFILES[shape]
     n_lines = nu_l.shape[0]
     offs = jnp.arange(slab, dtype=jnp.int32)
+    two_float = nu_l_lo is not None
+    if not two_float:
+        nu_blocks_lo = jnp.zeros_like(nu_blocks)  # unused lax.map operand slot
 
     def block_fn(xs):
-        nu_b, s0, cnt = xs  # [B], scalar, scalar
+        nu_b, nu_b_lo, s0, cnt = xs  # [B], [B], scalar, scalar
         idx = jnp.clip(s0 + offs, 0, max(n_lines - 1, 0))
         valid = offs < cnt
         nul_b = nu_l[idx]                      # [slab]
@@ -266,6 +290,10 @@ def _sigma_blocks(shape, T, S, alpha, gamma, nu_l, nu_blocks, starts, counts,
         a_b = alpha[..., idx][..., None, :]
         g_b = gamma[..., idx][..., None, :]
         dnu = nu_b[:, None] - nul_b[None, :]   # [B, slab]
+        if two_float:
+            # hi difference is exact for nearby values (Sterbenz); residuals
+            # restore the sub-f32 position information
+            dnu = dnu + (nu_b_lo[:, None] - nu_l_lo[idx][None, :])
         mask = valid[None, :] & (jnp.abs(dnu) <= cut)
         Tb = T[..., None, None] if T.ndim else T
         f = profile(dnu, S_b, a_b, g_b, Tb)    # [..., B, slab]
@@ -273,7 +301,7 @@ def _sigma_blocks(shape, T, S, alpha, gamma, nu_l, nu_blocks, starts, counts,
 
     sig = lax.map(
         block_fn,
-        (nu_blocks, starts, counts),
+        (nu_blocks, nu_blocks_lo, starts, counts),
         batch_size=min(batch_blocks, n_blocks),
     )  # [n_blocks, ..., B]
     sig = jnp.moveaxis(sig, 0, -2)  # [..., n_blocks, B]
@@ -301,15 +329,19 @@ def sigma_from_lines_device(
     """
     T = jnp.asarray(T)
     S, alpha, gamma = _line_params(lines, T, P, Pp, conc=conc)
-    nu_blocks = dplan.nu_blocks
-    if nu_blocks.dtype != jnp.float64:
-        # float32 environment: nu_blocks is the hi part; the lo residual is
-        # below float32 resolution of dnu here, but the line positions carry
-        # their own residual, so fold both for a consistent two-float diff
-        nu_blocks = nu_blocks + dplan.nu_blocks_lo
+    if S.dtype == jnp.float32:
+        # float32 environment: two-float dnu from the plan's hi/lo block
+        # positions and the catalog's nu_lo residuals (see _sigma_blocks)
+        nu_blocks = dplan.nu_blocks.astype(jnp.float32)
+        nu_blocks_lo = dplan.nu_blocks_lo
+        nu_l_lo = jnp.asarray(lines.nu_lo, jnp.float32)
+    else:
+        nu_blocks = dplan.nu_blocks.astype(S.dtype)
+        nu_blocks_lo = None
+        nu_l_lo = None
     return _sigma_blocks(
-        shape, T, S, alpha, gamma, lines.nu,
-        nu_blocks.astype(S.dtype), dplan.start, dplan.count,
+        shape, T, S, alpha, gamma, lines.nu, nu_l_lo,
+        nu_blocks, nu_blocks_lo, dplan.start, dplan.count,
         dplan.cut, dplan.slab, dplan.n_blocks, dplan.block, dplan.n_nu,
         batch_blocks,
     )
@@ -349,25 +381,31 @@ GROUP = 16
 GROUP_MAX = 64
 
 
-def _state_group(n_lines: int, slab: int) -> int:
+def _state_group(n_lines: int, slab: int, shape: str = "voigt") -> int:
     """States per Pallas call, sized so the catalog stays VMEM-resident.
 
-    The resident strategies keep up to (7*n_states + 2) f32 rows of
-    n_lines_pad in VMEM (the split Voigt pack with precomputed far-wing
-    coefficients, see ``linesum_pallas._pallas_sigma_impl``); a fixed small
-    group would split a deep column (e.g. 200 RCM levels) into a long chain
-    of sequential kernel calls even when the catalog is small enough to
-    batch far more states per call. Large catalogs stay at GROUP — they run
-    catalog-segmented (see ``linesum_pallas``), and fewer states per call
-    means longer (fewer) line segments within the same VMEM budget.
+    Solves the grouped kernel's per-shape VMEM model for n_states (see
+    ``linesum_pallas._grouped_lane_cost``): the split Voigt pack is
+    lane-major at 7 rows/state; everything else pre-transposes at 3
+    rows/state with the parameter count lane-padded to a 128 multiple. A
+    fixed small group would split a deep column (e.g. 200 RCM levels) into a
+    long chain of sequential kernel calls even when the catalog is small
+    enough to batch far more states per call. Large catalogs stay at GROUP —
+    they run catalog-segmented (see ``linesum_pallas``), and fewer states
+    per call means longer (fewer) line segments within the same VMEM budget.
     """
     from .linesum_pallas import CHUNK, _RESIDENT_VMEM_LIMIT
 
     slab_pad = -(-max(1, slab) // CHUNK) * CHUNK
     n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
-    # the pre-transposed pack charges n_params lane-padded to a 128 multiple
-    lanes = (_RESIDENT_VMEM_LIMIT // (4 * n_lines_pad) // 128) * 128
-    max_states = (lanes - 2) // 7
+    lanes = _RESIDENT_VMEM_LIMIT // (4 * n_lines_pad)
+    if shape in ("voigt", "voigt_ref"):
+        # lane-major split pack: lanes = 7n + 2, no padding
+        max_states = (lanes - 2) // 7
+    else:
+        # pre-transposed pack: ceil((3n + 2)/128)*128 lanes
+        rows = 3
+        max_states = ((lanes // 128) * 128 - 2) // rows
     return int(np.clip(max_states, GROUP, GROUP_MAX))
 
 
@@ -388,7 +426,7 @@ def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt", conc=None
 
     shp, Tf, Pf, Ppf, concf = _flatten_states(T, P, Pp, conc, lines.nu.shape[0])
     n = Tf.shape[0]
-    grp = _state_group(lines.nu.shape[0], plan.slab)
+    grp = _state_group(lines.nu.shape[0], plan.slab, shape)
     if n <= grp:
         sig = sigma_from_lines_pallas_jvp(plan, lines, Tf, Pf, Ppf, shape, concf)
     else:
@@ -413,7 +451,7 @@ def sigma_from_lines_auto_device(dplan, lines, T, P, Pp, shape="voigt", conc=Non
 
     shp, Tf, Pf, Ppf, concf = _flatten_states(T, P, Pp, conc, lines.nu.shape[0])
     n = Tf.shape[0]
-    grp = _state_group(lines.nu.shape[0], dplan.slab)
+    grp = _state_group(lines.nu.shape[0], dplan.slab, shape)
     if n <= grp:
         sig = sigma_from_lines_pallas_device(dplan, lines, Tf, Pf, Ppf, shape, conc=concf)
     else:

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .faddeeva import wofz_re
+from .faddeeva import wofz_re_kernel as wofz_re
 from .lineshape import chi_phco2
 from .linesum import (
     LineWindowPlan,
@@ -39,6 +39,7 @@ from .linesum import (
     sigma_from_lines,
     sigma_from_lines_device,
 )
+from ..spectra.lines import PER_LINE_FIELDS as _PER_LINE_FIELDS
 
 __all__ = [
     "sigma_from_lines_pallas",
@@ -450,12 +451,6 @@ def _segment_cap(shape: str, strategy: str, n_states: int, limit: int,
     return 0
 
 
-# per-line leaves of a SpectralLines catalog (tips_coeffs is a shared table)
-_PER_LINE_FIELDS = (
-    "nu", "nu_lo", "S", "ga", "gs", "Epp", "na", "mu", "A", "iso", "iso_ptr"
-)
-
-
 def _slice_lines_seg(lines, a: int, b: int):
     import dataclasses
 
@@ -465,7 +460,7 @@ def _slice_lines_seg(lines, a: int, b: int):
 
 
 def _pallas_sigma_segmented(shape, interpret, plan, lines, T, P, Pp, conc,
-                            strategy, lgroup, L_seg):
+                            strategy, lgroup, L_seg, limit=None):
     """Catalog-segmented grouped evaluation for plans too large to reside.
 
     The line axis is cut into ``L_seg``-length segments; each segment is a
@@ -507,7 +502,7 @@ def _pallas_sigma_segmented(shape, interpret, plan, lines, T, P, Pp, conc,
             jnp.asarray(c_s[blo:bhi]),
             _slice_lines_seg(lines, a, b), T, P, Pp,
             None if conc is None else conc[..., a:b],
-            strategy=strategy, lgroup=lgroup,
+            strategy=strategy, lgroup=lgroup, limit=limit,
         )
         if out is None:
             out = jnp.zeros((sig.shape[0], plan.n_nu), jnp.float32)
@@ -520,7 +515,8 @@ def _pallas_sigma_segmented(shape, interpret, plan, lines, T, P, Pp, conc,
 
 def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
                        nu_blocks_hi, nu_blocks_lo, start, count,
-                       lines, T, P, Pp, conc, strategy="auto", lgroup=8):
+                       lines, T, P, Pp, conc, strategy="auto", lgroup=8,
+                       limit=None):
     """Shared traced implementation behind both plan representations.
 
     ``cut/B/n_blocks/slab/n_nu`` are python statics; the per-block arrays
@@ -532,6 +528,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
     P = jnp.atleast_1d(jnp.asarray(P, jnp.float32))
     Pp = jnp.atleast_1d(jnp.asarray(Pp, jnp.float32))
     n_states = T.shape[0]
+    limit = _RESIDENT_VMEM_LIMIT if limit is None else int(limit)
     S, alpha, gamma = _line_params(lines, T, P, Pp, conc=conc)  # [n_states, n_lines]
     S = S.astype(jnp.float32)
     alpha = alpha.astype(jnp.float32)
@@ -572,7 +569,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
     # variant for A/B comparisons.
     if (
         strategy in ("auto", "grouped", "nosplit")
-        and resident_bytes <= _RESIDENT_VMEM_LIMIT
+        and resident_bytes <= limit
     ):
         pad_n = n_lines_pad - n_lines
 
@@ -624,7 +621,12 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
         # 0.01 cm^-1 margin swallows f32 position rounding — membership is
         # decided exactly in-kernel by the |dnu| <=/> d_near masks).
         if use_split:
-            amax = jnp.max(alpha)
+            # exclude padding lines (nu sentinel 1e30 — the sharded path's
+            # slabs arrive pre-padded): their Doppler width alpha ~ nu/c is
+            # astronomically large and would clamp d_near to cut, silently
+            # degenerating the far sweep to empty and the near sweep to the
+            # full window (all-w4, ~2x dense work)
+            amax = jnp.max(jnp.where(nu_l < 1e29, alpha, 0.0))
             if shape.endswith("_ref"):
                 amax = amax * (1.0 / _SQRT_LN2)
             d_near = jnp.minimum(15.0 * amax, cut).astype(jnp.float32)
@@ -686,7 +688,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
 
     if (
         strategy == "lane"
-        and (3 * n_states + 2) * n_lines_pad * 4 <= _RESIDENT_VMEM_LIMIT
+        and (3 * n_states + 2) * n_lines_pad * 4 <= limit
     ):
         # pad with far-away line positions (window mask kills them) and zero
         # strengths so out-of-range dynamic slices read inert data
@@ -826,7 +828,7 @@ def sigma_from_lines_pallas(
             if L_seg >= CHUNK and n_lines > L_seg:
                 return _pallas_sigma_segmented(
                     shape, interpret, plan, lines, T, P, Pp, conc,
-                    strategy, lgroup, L_seg,
+                    strategy, lgroup, L_seg, limit=limit,
                 )
     nb64 = np.asarray(plan.nu_blocks, np.float64)
     nb_hi = nb64.astype(np.float32)
@@ -836,7 +838,7 @@ def sigma_from_lines_pallas(
         jnp.asarray(nb_hi),
         jnp.asarray((nb64 - nb_hi.astype(np.float64)).astype(np.float32)),
         jnp.asarray(plan.start, jnp.int32), jnp.asarray(plan.count, jnp.int32),
-        lines, T, P, Pp, conc, strategy=strategy, lgroup=lgroup,
+        lines, T, P, Pp, conc, strategy=strategy, lgroup=lgroup, limit=limit,
     )
 
 

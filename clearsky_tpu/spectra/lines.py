@@ -20,7 +20,15 @@ import jax.numpy as jnp
 from .molparam import molparam, ISOINDEX
 from .par import read_par
 
-__all__ = ["SpectralLines"]
+__all__ = ["SpectralLines", "PER_LINE_FIELDS"]
+
+# every leaf with leading dimension n_lines (tips_coeffs is a shared table);
+# the single source of truth for code that slices/pads/stacks catalogs along
+# the line axis (sharded slabs, catalog segmentation) — extend this when
+# adding a per-line field
+PER_LINE_FIELDS = (
+    "nu", "nu_lo", "S", "ga", "gs", "Epp", "na", "mu", "A", "iso", "iso_ptr"
+)
 
 
 @jax.tree_util.register_dataclass

@@ -163,7 +163,11 @@ def radau_scalar(
 
     st = _State(
         x=x0, y=y0, f0=f0, h=h_init,
-        done=span <= 0,
+        # NaN lanes (a poisoned radau_dense segment, or a NaN RHS at x0) can
+        # never accept a step — mark them done up front so one bad lane
+        # doesn't pin the whole batch's while_loop at max_steps; their y stays
+        # NaN, which propagates to the caller exactly as a failure should
+        done=(span <= 0) | jnp.isnan(y0) | jnp.isnan(f0),
         h_old=jnp.zeros((L,), dtype), err_old=jnp.full((L,), -1.0, dtype),
         steps=jnp.zeros((L,), jnp.int32), it=jnp.asarray(0, jnp.int32),
     )

@@ -50,31 +50,23 @@ def main():
         flush=True,
     )
 
-    default = lp._RESIDENT_VMEM_LIMIT
-    try:
-        for mib in (6, 12, 24, 48):
-            limit = mib * 2**20
-            lp._RESIDENT_VMEM_LIMIT = limit  # impl reads this at trace time
-            cap = lp._segment_cap(
-                "voigt", "auto",
-                n_states, limit, plan.slab,
-            )
-            n_seg = -(-len(nu_l) // cap) if cap else 0
-            fn = lambda Tc, Pj, Pq, l=limit: lp.sigma_from_lines_pallas(
-                plan, lines, Tc, Pj, Pq, "voigt", resident_limit=l
-            )
-            try:
-                dt = timed_chain(fn, T, P, Pp)
-            except Exception as e:  # VMEM overflow etc: report and continue
-                print(f"limit {mib:3d} MiB ({n_seg} segments): FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
-                continue
-            print(
-                f"limit {mib:3d} MiB ({n_seg:2d} segments of <= {cap}): "
-                f"{dt*1e3:8.2f} ms/call  {evals/dt:.3e} useful evals/s",
-                flush=True,
-            )
-    finally:
-        lp._RESIDENT_VMEM_LIMIT = default
+    for mib in (6, 12, 24, 48):
+        limit = mib * 2**20
+        cap = lp._segment_cap("voigt", "auto", n_states, limit, plan.slab)
+        n_seg = -(-len(nu_l) // cap) if cap else 0
+        fn = lambda Tc, Pj, Pq, l=limit: lp.sigma_from_lines_pallas(
+            plan, lines, Tc, Pj, Pq, "voigt", resident_limit=l
+        )
+        try:
+            dt = timed_chain(fn, T, P, Pp)
+        except Exception as e:  # VMEM overflow etc: report and continue
+            print(f"limit {mib:3d} MiB ({n_seg} segments): FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+            continue
+        print(
+            f"limit {mib:3d} MiB ({n_seg:2d} segments of <= {cap}): "
+            f"{dt*1e3:8.2f} ms/call  {evals/dt:.3e} useful evals/s",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -157,3 +157,42 @@ def test_phco2_below_voigt_in_far_wings(co2):
     voigt = np.asarray(sigma_from_lines(plan_v, co2, 250.0, 1e5, 0.0, "voigt"))
     sub = np.asarray(sigma_from_lines(plan_v, co2, 250.0, 1e5, 0.0, "phco2"))
     assert np.all(sub <= voigt * (1 + 1e-9))
+
+
+def test_wofz_jvp_stable_and_correct():
+    """The Faddeeva JVP must come from the ODE w' = -2 z w + 2i/sqrt(pi):
+    differentiating the w4 rationals squares region 1's denominator
+    (~|z|^8), which overflows float32 at the far-wing arguments of narrow
+    low-wavenumber lines (|x| = cut/alpha up to ~1e7). Regression: f32
+    tangents finite at extreme |x|; f64 tangents match central differences."""
+    import jax
+
+    # f32 extreme far wing: primal survives (two-division form), and with
+    # the ODE rule the tangent must too
+    x32 = jnp.asarray([3e7, -4e6, 1e5], jnp.float32)
+    y32 = jnp.asarray([1e-3, 5.0, 0.3], jnp.float32)
+    (wr, wi), (dwr, dwi) = jax.jvp(
+        wofz_re_im, (x32, y32), (jnp.ones_like(x32), jnp.ones_like(y32))
+    )
+    assert np.all(np.isfinite(np.asarray(dwr)))
+    assert np.all(np.isfinite(np.asarray(dwi)))
+    # f64 correctness vs central differences across all four w4 regions.
+    # Tolerance is the w4 approximation class (~1e-3 near region edges): the
+    # ODE rule is the exact derivative of the TRUE function, while central
+    # differences differentiate the approximation.
+    x = jnp.asarray([0.3, 2.0, 4.0, 7.0, 20.0, 300.0], jnp.float64)
+    y = jnp.asarray([0.2, 0.005, 0.05, 2.0, 8.0, 0.5], jnp.float64)
+    for wrt in (0, 1):
+        t = (jnp.ones_like(x), jnp.zeros_like(y))[:: 1 if wrt == 0 else -1]
+        _, (dwr, dwi) = jax.jvp(wofz_re_im, (x, y), t)
+        h = 1e-6
+        dx = h if wrt == 0 else 0.0
+        dy = h if wrt == 1 else 0.0
+        wrp, wip = wofz_re_im(x + dx, y + dy)
+        wrm, wim = wofz_re_im(x - dx, y - dy)
+        np.testing.assert_allclose(
+            np.asarray(dwr), np.asarray((wrp - wrm) / (2 * h)), rtol=7e-3, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(dwi), np.asarray((wip - wim) / (2 * h)), rtol=7e-3, atol=1e-9
+        )

@@ -112,27 +112,30 @@ def test_hi_lo_positions_beat_plain_f32(co2):
 def test_state_group_scales_with_catalog(co2):
     """Adaptive state batching: small catalogs batch more states per kernel
     call (bounded by the resident-VMEM budget and the unroll cap); large
-    catalogs stay at the conservative GROUP so the gathered-slab fallback's
-    per-call footprint is bounded."""
+    catalogs stay at the conservative GROUP (and run catalog-segmented).
+    The group solves the per-shape pack model exactly."""
     from clearsky_tpu.ops.linesum import _state_group, GROUP, GROUP_MAX
-    from clearsky_tpu.ops.linesum_pallas import CHUNK, _RESIDENT_VMEM_LIMIT
+    from clearsky_tpu.ops.linesum_pallas import (
+        CHUNK, _RESIDENT_VMEM_LIMIT, _grouped_lane_cost, _resident_bytes_est,
+    )
 
     assert _state_group(600, 128) == GROUP_MAX        # tiny catalog: cap
     assert _state_group(2_000_000, 128) == GROUP      # huge catalog: floor
-    # mid-size: exactly the resident budget (between floor and cap), sized
-    # for the widest pack (7 rows/state: split Voigt far coefficients),
-    # lane-padded to 128 params (the pre-transposed [lines, params] layout)
-    n_lines = 7_000
-    g = _state_group(n_lines, 256)
-    n_pad = -(-(n_lines + 256 + CHUNK) // 128) * 128
-
-    def bytes_for(n_states):
-        lanes = -(-(7 * n_states + 2) // 128) * 128
-        return n_pad * lanes * 4
-
-    assert GROUP < g < GROUP_MAX
-    assert bytes_for(g) <= _RESIDENT_VMEM_LIMIT
-    assert bytes_for(g + 1) > _RESIDENT_VMEM_LIMIT
+    # mid-size: exactly the resident budget (between floor and cap), per the
+    # shape's own pack model — split voigt (7 rows, lane-major) batches fewer
+    # states than the pre-transposed 3-row shapes
+    for shape in ("voigt", "phco2"):
+        n_lines = 10_000
+        g = _state_group(n_lines, 256, shape)
+        assert GROUP < g < GROUP_MAX, (shape, g)
+        strat = "auto"
+        assert _resident_bytes_est(
+            n_lines, 256, _grouped_lane_cost(shape, strat, g)
+        ) <= _RESIDENT_VMEM_LIMIT
+        assert _resident_bytes_est(
+            n_lines, 256, _grouped_lane_cost(shape, strat, g + 1)
+        ) > _RESIDENT_VMEM_LIMIT
+    assert _state_group(10_000, 256, "phco2") > _state_group(10_000, 256, "voigt")
 
 
 @pytest.mark.parametrize("shape,cut,limit", [

@@ -85,6 +85,27 @@ def test_sharded_gas_lineless_shards(co2_lines):
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=ref.max() * 1e-15)
 
 
+def test_sharded_plan_keeps_float64_grid(co2_lines):
+    # shard_line_gas must rebuild per-shard plans from the PLAN's float64
+    # grid, not from gas.nu — which is float32 whenever x64 is off (always
+    # on TPU). Regression: with an f32 gas.nu the two-float block positions
+    # (hi + lo) previously reconstructed the f32-ROUNDED grid (lo ~ 0,
+    # ~5e-4 cm^-1 position error at 1e4 cm^-1), flipping line membership at
+    # the cut boundary and biasing deep-wing sigma by O(10%) on TPU.
+    import dataclasses as dc
+
+    nu = _grid(co2_lines)
+    gas = DirectGas.from_lines(co2_lines, 0.9, nu)
+    gas32 = dc.replace(gas, nu=jnp.asarray(gas.nu, jnp.float32))  # TPU-like
+    sg = shard_line_gas(gas32, 8)
+    # in the f64 suite the stacked nu_blocks hold the full-precision source
+    # grid the two-float (hi, lo) pair is derived from — it must be the
+    # constructor's f64 grid, not a round trip through the f32 gas.nu
+    got = np.asarray(sg.plans.nu_blocks, np.float64).reshape(-1)[: len(nu)]
+    exact = np.asarray(gas.plan.nu_blocks).reshape(-1)[: len(nu)]
+    np.testing.assert_array_equal(got, exact)
+
+
 def test_sharded_multigas_matches(co2_lines, h2o_lines):
     nu = _grid(co2_lines)
     mg = MultiGas.from_lines([(co2_lines, 0.3), (h2o_lines, 0.01)], nu)

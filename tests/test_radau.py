@@ -135,3 +135,27 @@ def test_zero_span_is_identity():
 def test_newton_iters_guard():
     with pytest.raises(ValueError):
         radau_scalar(lambda x, y, a: -y, jnp.ones(1), 0.0, 1.0, newton_iters=1)
+
+
+def test_nan_lane_is_inert():
+    """A NaN lane (poisoned upstream segment or NaN RHS at x0) must be marked
+    done immediately — one bad lane must not pin the whole batch's while_loop
+    at max_steps — while finite lanes integrate normally and the NaN
+    propagates to the output."""
+    k = jnp.asarray([1.0, 1.0])
+
+    def f(x, y, args):
+        return -args * y
+
+    y0 = jnp.asarray([1.0, np.nan])
+    r = radau_scalar(f, y0, 0.0, 2.0, args=k, rtol=1e-8, atol=1e-12)
+    assert np.isnan(np.asarray(r.y)[1])
+    assert int(r.steps[1]) == 0  # never attempted
+    np.testing.assert_allclose(float(r.y[0]), np.exp(-2.0), rtol=1e-6)
+    # dense output: the poison propagates through remaining segments without
+    # stalling them
+    ys = radau_dense(f, y0, jnp.linspace(0.0, 2.0, 5), args=k, rtol=1e-8)
+    assert np.all(np.isnan(np.asarray(ys)[1:, 1]))
+    np.testing.assert_allclose(
+        np.asarray(ys)[:, 0], np.exp(-np.linspace(0.0, 2.0, 5)), rtol=1e-6
+    )
