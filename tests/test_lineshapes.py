@@ -196,3 +196,23 @@ def test_wofz_jvp_stable_and_correct():
         np.testing.assert_allclose(
             np.asarray(dwi), np.asarray((wip - wim) / (2 * h)), rtol=7e-3, atol=1e-9
         )
+
+
+def test_wofz_reverse_mode_transposes():
+    """jax.grad must work through the Faddeeva custom JVP (the tangent rule
+    is linear, so jax transposes it); reverse and forward gradients agree."""
+    import jax
+
+    def f(x, y):
+        wr, wi = wofz_re_im(x, y)
+        return jnp.sum(wr * wr + 0.3 * wi)
+
+    x = jnp.asarray([0.5, 3.0, 12.0, 80.0], jnp.float64)
+    y = jnp.asarray([0.2, 0.004, 2.0, 0.6], jnp.float64)
+    gx = jax.grad(f, argnums=0)(x, y)
+    gy = jax.grad(f, argnums=1)(x, y)
+    fx = jax.jacfwd(f, argnums=0)(x, y)
+    fy = jax.jacfwd(f, argnums=1)(x, y)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(fx), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(fy), rtol=1e-12)
+    assert np.all(np.isfinite(np.asarray(gx)))
