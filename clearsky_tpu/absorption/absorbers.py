@@ -169,8 +169,9 @@ class AcceleratedAbsorber:
         """
         T = jnp.asarray(T)
         sig = self.stack.sigma(T, jnp.exp(self.lnP))
+        # log(max(sig, dtype tiny)) >= log(tiny) >= _LOG_TINY already, so no
+        # second floor is needed after the select
         ln = jnp.where(sig > 0, jnp.log(jnp.maximum(sig, jnp.finfo(sig.dtype).tiny)), _LOG_TINY)
-        ln = jnp.maximum(ln, _LOG_TINY)
         return dataclasses.replace(self, ln_sigma=ln, T=T)
 
     def sigma(self, T, P):

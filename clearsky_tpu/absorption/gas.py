@@ -232,7 +232,7 @@ class Gas(AbstractGas):
     @classmethod
     def from_par(cls, filename: str, fC, nu, domain, shape="voigt", cut=None, **kwargs):
         """Read a .par file and bake directly. Ref gases.jl:240-249."""
-        bake_keys = {"block", "tp_batch", "dtype"}
+        bake_keys = {"block", "tp_batch", "dtype", "backend"}
         bk = {k: kwargs.pop(k) for k in list(kwargs) if k in bake_keys}
         lines = SpectralLines.from_par(filename, **kwargs)
         return cls.from_lines(lines, fC, nu, domain, shape=shape, cut=cut, **bk)

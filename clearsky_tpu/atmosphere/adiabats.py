@@ -55,8 +55,9 @@ def lapse(T, P, cp, mu):
 
     Functional version of the reference's in-place ``lapse!``
     (ref atmospherics.jl:218-232): marching from the highest pressure down,
-    each next (lower-pressure) point is cooled to the adiabatic expectation if
-    the profile lapse exceeds it. P may be unsorted; the sweep respects
+    each next (lower-pressure) point is WARMED up to the adiabatic
+    expectation where the profile is superadiabatic (the reference's "heat
+    the upper point if needed"). P may be unsorted; the sweep respects
     descending-pressure order. Host/loop-free jit is not needed — the column
     is short — but the scan keeps it jit-safe.
     """

@@ -42,14 +42,23 @@ class AtmosphericProfile:
 
 
 def formprofile(P, x):
-    """Normalize profile input: vector -> AtmosphericProfile, scalar -> constant,
-    callable -> itself. Ref fluxes.jl:13-17."""
+    """Normalize profile input: vector -> interpolated profile, scalar ->
+    constant, callable -> itself. Ref fluxes.jl:13-17.
+
+    The returned callable accepts any of the framework's closure signatures
+    — ``fT(P)``, ``fmu(T, P)``, ``fcp(T, P)`` — by interpolating against the
+    LAST positional argument, which is the pressure in every convention.
+    (The reference's equivalent wrapper shares this flaw-turned-contract:
+    its interpolators are pressure-only, so a vector input can never encode
+    genuine temperature dependence — pass a callable for that.)
+    """
     if callable(x):
         return x
     x = jnp.asarray(x)
     if x.ndim == 0:
         return lambda *args: x
-    return AtmosphericProfile.create(P, x)
+    prof = AtmosphericProfile.create(P, x)
+    return lambda *args: prof(args[-1])
 
 
 def formprofiles(P, *xs):

@@ -118,16 +118,26 @@ class RCM:
         """Construct from edge grids and physics closures. Ref radiative_convective.jl:42-103."""
         Pe = np.asarray(Pe, dtype=np.float64)
         Te = np.asarray(Te, dtype=np.float64)
-        idx = np.argsort(Pe)
-        Pe, Te = Pe[idx], Te[idx]
+        # validate BEFORE the paired argsort indexing: a longer Te would be
+        # silently truncated by Te[idx] and a shorter one would raise a raw
+        # IndexError instead of this message
         if len(Pe) != len(Te):
             raise ValueError(
                 "must have same number of initial temperature and pressure values"
             )
+        idx = np.argsort(Pe)
+        Pe, Te = Pe[idx], Te[idx]
         # cell centers; the last cell is the surface itself (ref :64-70)
         P = np.concatenate([0.5 * (Pe[:-1] + Pe[1:]), Pe[-1:]])
         T = np.concatenate([0.5 * (Te[:-1] + Te[1:]), Te[-1:]])
         Pr = radiative_grid(Pe, radmul)
+        if isinstance(core, RadauEq):
+            # the adaptive-equivalent core = the discretized march on a
+            # refine-x sqrt-P-subdivided grid (rt/fluxes.py); heating's
+            # fall-through branch then uses core.nstream/nlobatto as-is
+            from ..rt.fluxes import _refined
+
+            Pr, _ = _refined(Pr, core.refine)
         stack = unify_absorbers(absorbers)
         A = AcceleratedAbsorber.create(jnp.asarray(Te), jnp.asarray(Pe), stack)
         S_nu = _spectral_fn(fS)(A.nu)
@@ -327,13 +337,30 @@ def run(
                 lambda a: a,
                 A,
             )
-        rec = T if record_every else jnp.zeros((0,), T.dtype)
-        return (T, A), rec
+        return (T, A), None
 
-    (T, A), recs = lax.scan(body, (rcm.T, rcm.A), jnp.arange(nsteps))
-    out = dataclasses.replace(rcm, T=T, A=A)
+    def chunk(carry, i0):
+        # inner scan over one recording interval, emitting ONE snapshot —
+        # stacking every step's T and subsampling after the scan would
+        # allocate [nsteps, np] on device (hundreds of MB for long runs)
+        # for recs that are then 1/record_every discarded
+        carry, _ = lax.scan(body, carry, i0 + jnp.arange(record_every))
+        return carry, carry[0]
+
+    carry = (rcm.T, rcm.A)
     if record_every:
-        recs = recs[record_every - 1 :: record_every]
+        n_out = nsteps // record_every
+        carry, recs = lax.scan(
+            chunk, carry, jnp.arange(n_out) * record_every
+        )
+        tail = nsteps - n_out * record_every
+    else:
+        recs = jnp.zeros((0, rcm.T.shape[0]), rcm.T.dtype)
+        tail = nsteps
+    if tail:
+        carry, _ = lax.scan(body, carry, nsteps - tail + jnp.arange(tail))
+    T, A = carry
+    out = dataclasses.replace(rcm, T=T, A=A)
     return out, recs
 
 

@@ -113,6 +113,7 @@ def shard_sweep(mesh, rcm, factors, T0_b=None):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import shard_spectral
+    from ..parallel.spectral import shard_lbl
 
     factors = jnp.asarray(factors)
     nb = factors.shape[0]
@@ -120,7 +121,12 @@ def shard_sweep(mesh, rcm, factors, T0_b=None):
         raise ValueError(
             f"batch size {nb} not divisible by batch-mesh size {mesh.shape['batch']}"
         )
-    rcm_s = shard_spectral(rcm, mesh, rcm.nu.shape[0])
+    # line-by-line gases must shard as per-shard line slabs (like every
+    # sharded program builder in parallel/spectral.py) — a global banding
+    # plan against a sharded grid forces XLA to replicate the line sum
+    rcm_s = shard_spectral(
+        shard_lbl(rcm, mesh.shape["nu"]), mesh, rcm.nu.shape[0]
+    )
     f_s = jax.device_put(factors, NamedSharding(mesh, P("batch")))
     if T0_b is None:
         T0_b = jnp.broadcast_to(rcm.T, (nb,) + rcm.T.shape)

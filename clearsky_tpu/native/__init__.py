@@ -30,15 +30,29 @@ _tried = False
 
 
 def _build() -> bool:
+    # link to a per-process temp name and publish with an atomic rename:
+    # concurrent importers (e.g. pytest workers) must never dlopen a
+    # half-written .so — a truncated ELF poisons that process's _tried cache
+    # into the slow numpy fallback for its whole lifetime
+    tmp = f"{_LIB}.tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-        _SRC, "-o", _LIB,
+        _SRC, "-o", tmp,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
-        return r.returncode == 0 and os.path.exists(_LIB)
+        if r.returncode != 0 or not os.path.exists(tmp):
+            return False
+        os.replace(tmp, _LIB)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load():
@@ -98,6 +112,10 @@ def parse_par_native(path: str) -> dict | None:
     try:
         for k, p in zip(keys, fptrs):
             out[k] = np.ctypeslib.as_array(p, shape=(n,)).copy()
+            if np.isnan(out[k]).any():
+                # partially-parseable field (NaN sentinel from parse_field):
+                # defer to the strict numpy parser, which raises with context
+                return None
         out["M"] = np.ctypeslib.as_array(Mp, shape=(n,)).copy()
         raw = ctypes.cast(Ip, ctypes.POINTER(ctypes.c_char * n)) if n else None
         out["I"] = (

@@ -13,6 +13,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -33,6 +34,11 @@ double parse_field(const char* rec, Field f) {
   char* end = nullptr;
   double v = std::strtod(buf, &end);
   if (end == buf) return 0.0;  // blank field -> 0 (matches numpy path)
+  // a PARTIAL parse (e.g. a Fortran 'D' exponent or corruption) must not
+  // pass silently — the numpy path raises on such fields. Signal with NaN;
+  // the Python wrapper detects it and falls back to the strict parser.
+  while (*end == ' ' || *end == '\t') ++end;
+  if (*end != '\0') return std::numeric_limits<double>::quiet_NaN();
   return v;
 }
 

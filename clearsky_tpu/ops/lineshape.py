@@ -42,14 +42,18 @@ def cheb_qref_q(T, coeffs, mask=None):
 
     ``coeffs``: [..., ncheb_max] zero-padded Chebyshev coefficients of
     Q(T)/Qref; returns 1/sum(a_k T_k(tau)). Ref line_shapes.jl:27-48. ``T`` is
-    a scalar or array broadcastable against coeffs[..., 0]. The temperature
-    validity range [TIPS_TMIN, TIPS_TMAX] is the caller's responsibility
-    (validated at AtmosphericDomain construction, as in the reference).
+    a scalar or array broadcastable against coeffs[..., 0]. Table-mode gases
+    validate [TIPS_TMIN, TIPS_TMAX] at AtmosphericDomain construction (as in
+    the reference); the direct (table-free) mode has no such gate, and a
+    Chebyshev sum outside [-1, 1] diverges — it can go NEGATIVE, silently
+    producing negative intensities/cross-sections. The argument is therefore
+    clamped: out-of-range temperatures hold Q at the domain-edge value
+    (bounded, positive, jit-safe) instead of extrapolating garbage.
     """
     coeffs = jnp.asarray(coeffs)
     n = coeffs.shape[-1]
     tau = 2.0 * (T - TIPS_TMIN) / (TIPS_TMAX - TIPS_TMIN) - 1.0
-    tau = jnp.asarray(tau)
+    tau = jnp.clip(jnp.asarray(tau), -1.0, 1.0)
     # Chebyshev basis via recurrence; contract with coefficients
     c1 = jnp.ones_like(tau)
     c2 = tau

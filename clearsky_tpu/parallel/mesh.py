@@ -83,11 +83,11 @@ def _has_own_specs(x) -> bool:
     return hasattr(x, "pspecs")
 
 
-def spectral_pspecs(tree, n_nu: int, batch_ndim: int = 0):
-    """PartitionSpecs for a pytree: last-axis 'nu' for spectral leaves, leading
-    'batch' axes for leaves with ndim > batch threshold, replicated otherwise.
-    Nodes exposing ``pspecs()`` (sharded line-by-line gases) supply their own
-    spec subtree."""
+def spectral_pspecs(tree, n_nu: int):
+    """PartitionSpecs for a pytree: last-axis 'nu' for spectral leaves,
+    replicated otherwise. Nodes exposing ``pspecs()`` (sharded line-by-line
+    gases) supply their own spec subtree. Batched column states place their
+    leading axis explicitly (see ``models.sweep.shard_sweep``)."""
 
     def spec(x):
         if _has_own_specs(x):
@@ -97,8 +97,6 @@ def spectral_pspecs(tree, n_nu: int, batch_ndim: int = 0):
         parts = [None] * x.ndim
         if _is_spectral(x, n_nu):
             parts[-1] = "nu"
-        if batch_ndim and x.ndim >= 1:
-            parts[0] = "batch"
         return P(*parts)
 
     return jax.tree.map(spec, tree, is_leaf=_has_own_specs)

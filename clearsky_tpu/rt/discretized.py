@@ -170,7 +170,8 @@ def monoflux(tau, B, nu, S_nu, albedo_nu, theta_s, nstream: int):
     """Whole-column monochromatic up/down fluxes. Ref discretized.jl:249-326.
 
     Arguments:
-      tau: [L, n_nu] per-layer vertical optical depth (L = np-1), floored.
+      tau: [L, n_nu] per-layer vertical optical depth (L = np-1), floorless
+        by design (layer_planck handles tau -> 0 exactly; see TAU_MIN).
       B: [np, n_nu] Planck at levels (P ascending: index 0 = TOA, -1 = surface).
       nu: [n_nu] wavenumbers.
       S_nu: [n_nu] incoming stellar spectral flux at TOA [W/m^2/cm^-1].
@@ -230,7 +231,7 @@ def outgoing_flux(tau, B, nstream: int, vertical: bool = False):
         m, W = stream_nodes(nstream)
     m = jnp.asarray(m, dtype=tau.dtype)
     W = jnp.asarray(W, dtype=tau.dtype)
-    nstream_, n_nu = len(np.asarray(m)), tau.shape[1]
+    nstream, n_nu = len(np.asarray(m)), tau.shape[1]
     tau_m = tau[:, None, :] * m[None, :, None]
     I_surf = jnp.broadcast_to(B[-1][None, :], (nstream, n_nu))
     Is_up = _march(tau_m[::-1], B[1:][::-1], B[:-1][::-1], I_surf)

@@ -162,13 +162,16 @@ def _refined(P, refine):
 
 
 def optical_depth(
-    P, g, T, mu, theta, *absorbers, nlobatto: int = 4, nlevels: int = 128, core=None
+    P, g, T, mu, theta, *absorbers, nlobatto: int = 4, nlevels: int = 128,
+    core=None, Ptop: float = 1.0
 ):
     """Monochromatic slant-path optical depths [n_nu] between two pressures.
 
     Two call forms, mirroring the reference:
       * ``optical_depth((P1, P2), ...)`` or two scalars via a 2-tuple — dense
         internal omega grid (the Radau-path equivalent, ref fluxes.jl:39-66);
+        a single scalar integrates from that pressure to ``Ptop`` (1 Pa by
+        default, as in ``outgoing``);
       * ``optical_depth(P_vector, ...)`` — Lobatto quadrature on the given
         levels (ref fluxes.jl:68-97).
 
@@ -177,9 +180,14 @@ def optical_depth(
     """
     A = unify_absorbers(absorbers)
     _check_azimuth(theta)
+    if core is not None and not isinstance(core, Radau):
+        raise ValueError(
+            "optical_depth supports core=None (Lobatto quadrature) or "
+            f"core=Radau(...); got {core!r}"
+        )
     P = np.asarray(P, dtype=np.float64)
     if P.ndim == 0 or len(P) == 2:
-        P1, P2 = (float(P), 1.0) if P.ndim == 0 else (float(P[0]), float(P[1]))
+        P1, P2 = (float(P), float(Ptop)) if P.ndim == 0 else (float(P[0]), float(P[1]))
         Pgrid = _omega_grid(P1, P2, nlevels)
     else:
         Pgrid = np.sort(P)
@@ -229,19 +237,34 @@ def outgoing(
     error-controlled engine instead of the discretized march.
     """
     A = unify_absorbers(absorbers)
+    # a core selector bundles its own quadrature orders (as in the
+    # reference's Radau(nstream, tol) / Discretized(...), ref shared.jl:40-66)
+    # — it overrides this function's nstream/nlobatto arguments
+    if isinstance(core, Discretized):
+        nstream, nlobatto = core.nstream, core.nlobatto
+    elif isinstance(core, RadauEq):
+        nstream, nlobatto = core.nstream, core.nlobatto
+    elif core is not None and not isinstance(core, Radau):
+        raise ValueError(f"unknown core selector {core!r}")
     _check_streams(nstream)
     P = np.asarray(P, dtype=np.float64)
-    Pgrid = _omega_grid(float(P), Ptop, nlevels) if P.ndim == 0 else np.sort(P)
+    if P.ndim == 0:
+        nlev = nlevels * (core.refine if isinstance(core, RadauEq) else 1)
+        Pgrid = P_base = _omega_grid(float(P), Ptop, nlev)
+    else:
+        P_base = np.sort(P)  # vector T/mu interpolate against the CALLER's levels
+        Pgrid = (
+            _refined(P_base, core.refine)[0]
+            if isinstance(core, RadauEq)
+            else P_base
+        )
     check_pressures(A, Pgrid[-1], Pgrid[0])
     Pg = jnp.asarray(Pgrid)
-    fT, fmu = formprofiles(Pg, T, mu)
+    fT, fmu = formprofiles(jnp.asarray(P_base), T, mu)
     if isinstance(core, Radau):
+        _check_streams(core.nstream)
         from .radau import build_column_cache, radau_outgoing
 
-        # the core selector bundles the quadrature order (as in the
-        # reference's Radau(nstream, tol), ref shared.jl:40-51) — it
-        # overrides this function's nstream argument
-        _check_streams(core.nstream)
         cache = build_column_cache(Pgrid, fT, fmu, A, nlevels=core.nlevels)
         return radau_outgoing(
             cache, Pgrid[-1], Pgrid[0], g, nstream=core.nstream,

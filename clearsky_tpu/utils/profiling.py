@@ -86,13 +86,17 @@ def linesum_cost(plan, n_states: int, chunk: int = 8, dtype_bytes: int = 4) -> K
     )
 
 
-def speed_of_light_report(plan, n_states: int, seconds: float, chip: str = "v5e") -> dict:
+def speed_of_light_report(
+    plan, n_states: int, seconds: float, chip: str = "v5e", chunk: int = 8
+) -> dict:
     """Roofline context for a measured line-sum run.
 
     Returns achieved FLOP/s, the compute- and bandwidth-roofs, and the
-    fraction of the binding roof achieved.
+    fraction of the binding roof achieved. ``chunk`` is the kernel's line
+    granularity (8 for the default sublane-grouped strategy, 128 for the
+    lane-major variant) — it sets the dense-work model.
     """
-    cost = linesum_cost(plan, n_states)
+    cost = linesum_cost(plan, n_states, chunk=chunk)
     peak_flops, peak_bw = CHIP_PEAKS[chip]
     achieved = cost.flops / seconds
     roof = min(peak_flops, peak_bw * cost.intensity)

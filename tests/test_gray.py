@@ -86,3 +86,65 @@ def test_top_bottom_fluxes_api():
     # reflected stellar light makes TOA outgoing exceed the no-albedo case
     up0, _ = top_fluxes(P, G, fT, lambda T, P_: MU, fS, 0.0, gas)
     assert float(up) > float(up0)
+
+
+def test_vector_mu_profiles_through_flux_api():
+    """Vector T AND mu inputs must work through every flux entry point:
+    formprofile wraps vectors in a pressure interpolator called as fmu(T, P)
+    — regression for the wrapper only accepting one argument (TypeError)."""
+    from clearsky_tpu.rt.fluxes import fluxes, optical_depth
+
+    nu = np.linspace(1.0, 3000.0, 128)
+    gas = GrayGas.create(1e-26, nu)
+    P = np.geomspace(10.0, PS, 12)
+    T = np.maximum(TS * (P / PS) ** (R_GAS / (MU * CP)), 150.0)
+    mu = np.full_like(P, MU)
+    F_up, F_down = fluxes(P, G, T, mu, 0.0, 0.0, gas)
+    assert np.all(np.isfinite(np.asarray(F_up)))
+    tau = optical_depth(P, G, T, mu, 0.3, gas)
+    assert np.all(np.isfinite(np.asarray(tau)))
+
+
+def test_outgoing_honors_core_selectors():
+    """outgoing() must honor Discretized/RadauEq core selectors (or reject
+    unknown ones) instead of silently running function defaults."""
+    from clearsky_tpu.rt.fluxes import Discretized, RadauEq
+
+    nu = np.linspace(1.0, 3000.0, 128)
+    gas = GrayGas.create(1e-25, nu)
+    fT = lambda P: np.maximum(TS * (P / PS) ** (R_GAS / (MU * CP)), 150.0)
+    base = trapz(nu, outgoing(PS, G, fT, MU, gas))
+    d = trapz(nu, outgoing(PS, G, fT, MU, gas, core=Discretized(nstream=5, nlobatto=3)))
+    r = trapz(nu, outgoing(PS, G, fT, MU, gas, core=RadauEq(nstream=5, refine=2)))
+    np.testing.assert_allclose(float(d), float(base), rtol=1e-6)
+    np.testing.assert_allclose(float(r), float(base), rtol=1e-2)
+    with pytest.raises(ValueError):
+        outgoing(PS, G, fT, MU, gas, core="adaptive")
+
+
+def test_optical_depth_scalar_ptop():
+    """Scalar-P optical_depth integrates to Ptop (documented, configurable)."""
+    from clearsky_tpu.rt.fluxes import optical_depth
+
+    nu = np.linspace(1.0, 3000.0, 64)
+    gas = GrayGas.create(1e-26, nu)
+    fT = lambda P: np.maximum(TS * (P / PS) ** (R_GAS / (MU * CP)), 150.0)
+    t1 = np.asarray(optical_depth(PS, G, fT, MU, 0.0, gas))
+    t2 = np.asarray(optical_depth(PS, G, fT, MU, 0.0, gas, Ptop=1e3))
+    assert np.all(t2 < t1)  # shallower column, strictly less absorber
+
+
+def test_tips_clamp_out_of_range():
+    """Out-of-domain temperatures hold Q at the TIPS domain edge instead of
+    extrapolating the Chebyshev fit (which diverges and can go negative)."""
+    import jax.numpy as jnp
+    from clearsky_tpu.ops.lineshape import cheb_qref_q
+    from clearsky_tpu.constants import TIPS_TMAX
+    from clearsky_tpu.spectra.molparam import molparam
+
+    co2 = molparam(2)
+    coeffs = jnp.asarray(co2.cheb)
+    q_edge = np.asarray(cheb_qref_q(jnp.asarray(TIPS_TMAX), coeffs))
+    q_out = np.asarray(cheb_qref_q(jnp.asarray(5000.0), coeffs))
+    np.testing.assert_array_equal(q_out, q_edge)
+    assert np.all(q_out > 0)

@@ -199,3 +199,42 @@ def test_rce_approaches_radiative_equilibrium():
     olr = float(F.F_up[0])
     absorbed = float(F.F_down[0])
     assert abs(olr - absorbed) / absorbed < 0.05
+
+
+def test_create_validates_lengths_before_sorting(fixtures_dir):
+    """Pe/Te length mismatch must raise the intended ValueError — a longer Te
+    was previously silently truncated by the argsort pairing."""
+    from clearsky_tpu.absorption.gas import GrayGas
+
+    nu = np.linspace(1.0, 2500.0, 64)
+    gas = GrayGas.create(1e-26, nu)
+    Pe = pressuregrid(PT, PS, 6)
+    Te = np.linspace(280.0, 150.0, 7)  # one extra point
+    with pytest.raises(ValueError, match="same number"):
+        rcm_mod.RCM.create(
+            Pe, Te, G, lambda T, P: MU, 0.0, 0.0, lambda T, P: CP, 1e7, gas
+        )
+
+
+def test_radaueq_core_refines_radiative_grid(fixtures_dir):
+    """core=RadauEq(refine=r) must actually build the refined radiative grid
+    (it was silently treated as a plain Discretized core in the RCM path)."""
+    from clearsky_tpu.absorption.gas import GrayGas
+    from clearsky_tpu.rt.fluxes import RadauEq
+
+    nu = np.linspace(1.0, 2500.0, 64)
+    gas = GrayGas.create(1e-26, nu)
+    Pe = pressuregrid(PT, PS, 6)
+    Te = np.maximum(280.0 * (Pe / PS) ** (R_GAS / (MU * CP)), 150.0)
+    base = rcm_mod.RCM.create(
+        Pe, Te, G, lambda T, P: MU, 0.0, 0.0, lambda T, P: CP, 1e7, gas
+    )
+    ref = rcm_mod.RCM.create(
+        Pe, Te, G, lambda T, P: MU, 0.0, 0.0, lambda T, P: CP, 1e7, gas,
+        core=RadauEq(refine=4),
+    )
+    n_layers = base.Pr.shape[0] - 1
+    assert ref.Pr.shape[0] - 1 == 4 * n_layers
+    H0 = np.asarray(rcm_mod.heating(base))
+    H1 = np.asarray(rcm_mod.heating(ref))
+    np.testing.assert_allclose(H1, H0, rtol=0.1, atol=np.abs(H0).max() * 0.05)
