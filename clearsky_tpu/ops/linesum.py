@@ -447,16 +447,18 @@ def sigma_from_lines_auto_device(dplan, lines, T, P, Pp, shape="voigt", conc=Non
 
     if jax.default_backend() != "tpu":
         return sigma_from_lines_device(dplan, lines, T, P, Pp, shape, conc=conc)
-    from .linesum_pallas import sigma_from_lines_pallas_device
+    from .linesum_pallas import sigma_from_lines_pallas_device_jvp
 
     shp, Tf, Pf, Ppf, concf = _flatten_states(T, P, Pp, conc, lines.nu.shape[0])
     n = Tf.shape[0]
     grp = _state_group(lines.nu.shape[0], dplan.slab, shape)
     if n <= grp:
-        sig = sigma_from_lines_pallas_device(dplan, lines, Tf, Pf, Ppf, shape, conc=concf)
+        sig = sigma_from_lines_pallas_device_jvp(
+            dplan, lines, Tf, Pf, Ppf, shape, conc=concf
+        )
     else:
         parts = [
-            sigma_from_lines_pallas_device(
+            sigma_from_lines_pallas_device_jvp(
                 dplan, lines, Tf[a : a + grp], Pf[a : a + grp],
                 Ppf[a : a + grp], shape, conc=_conc_group(concf, a, a + grp),
             )

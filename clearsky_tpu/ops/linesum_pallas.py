@@ -45,6 +45,7 @@ __all__ = [
     "sigma_from_lines_pallas",
     "sigma_from_lines_pallas_device",
     "sigma_from_lines_pallas_jvp",
+    "sigma_from_lines_pallas_device_jvp",
 ]
 
 _SQRT_LN2 = 0.8325546111576977
@@ -906,3 +907,35 @@ def _pallas_jvp_rule(plan, shape, primals, tangents):
 def sigma_from_lines_pallas_jvp(plan, lines, T, P, Pp, shape="voigt", conc=None):
     """Pallas kernel primal + oracle-path JVP (differentiable TPU line sum)."""
     return _pallas_jvp_core(plan, shape, lines, T, P, Pp, conc)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _pallas_device_jvp_core(shape, dplan, lines, T, P, Pp, conc):
+    return sigma_from_lines_pallas_device(dplan, lines, T, P, Pp, shape, conc=conc)
+
+
+@_pallas_device_jvp_core.defjvp
+def _pallas_device_jvp_rule(shape, primals, tangents):
+    out = _pallas_device_jvp_core(shape, *primals)
+    _, dout = jax.jvp(
+        lambda dplan, lines, T, P, Pp, conc: sigma_from_lines_device(
+            dplan, lines, T, P, Pp, shape, conc=conc
+        ),
+        primals,
+        tangents,
+    )
+    return out, dout
+
+
+def sigma_from_lines_pallas_device_jvp(
+    dplan, lines, T, P, Pp, shape="voigt", conc=None
+):
+    """Device-plan (sharded) kernel primal + oracle-path JVP.
+
+    The sharded counterpart of :func:`sigma_from_lines_pallas_jvp` — without
+    it, ``jacfwd`` through a ``shard_lbl``-converted gas on TPU would reach
+    ``pallas_call`` with a JVP tracer and fail (Pallas kernels carry no
+    autodiff rule). The plan is an ordinary pytree argument here (it may be
+    traced/sharded), with the usual zero tangents.
+    """
+    return _pallas_device_jvp_core(shape, dplan, lines, T, P, Pp, conc)

@@ -301,4 +301,10 @@ def radau_monoflux(
         rtol=tol, atol=atol, newton_iters=2, max_steps=max_steps,
     ).reshape(n_lev, ns, n_nu)[::-1]
     M_up = jnp.einsum("k,lkv->lv", Wj, I_up)
+    # the surface upward flux of an isotropic boundary is EXACTLY pi*I_surf;
+    # the stream quadrature's sum(W) only approximates pi (-0.10 at
+    # nstream=2, +2.2e-3 at 3, 1.7e-7 at 5) — pin the boundary like the
+    # discretized march and the scipy oracle do, so the engines agree at the
+    # level they are cross-checked on
+    M_up = M_up.at[-1].set(jnp.pi * I_surf)
     return M_up, M_down, tau_v[1:] - tau_v[:-1]

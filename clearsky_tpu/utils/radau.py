@@ -76,6 +76,7 @@ class _State(NamedTuple):
     done: jnp.ndarray
     h_old: jnp.ndarray     # last accepted step (predictive controller)
     err_old: jnp.ndarray   # its error norm (<=0: no history yet)
+    rej: jnp.ndarray       # previous attempt of the current step was rejected
     steps: jnp.ndarray
     it: jnp.ndarray
 
@@ -158,17 +159,20 @@ def radau_scalar(
         return Jv
 
     f0 = f(x0, y0, args).astype(dtype)
+    # NaN lanes (a poisoned radau_dense segment, or a NaN RHS at x0) can
+    # never accept a step — mark them done up front so one bad lane doesn't
+    # pin the whole batch's while_loop at max_steps. A NaN RHS must ALSO
+    # poison y: done lanes read as ok, and an untouched finite y0 would
+    # otherwise be passed off as the converged integral.
+    y0 = jnp.where(jnp.isnan(f0), jnp.nan, y0)
     scale0 = atol + jnp.abs(y0) * rtol
     h_init = _initial_step(f, x0, y0, f0, d, jnp.maximum(span, 1e-30), scale0, args)
 
     st = _State(
         x=x0, y=y0, f0=f0, h=h_init,
-        # NaN lanes (a poisoned radau_dense segment, or a NaN RHS at x0) can
-        # never accept a step — mark them done up front so one bad lane
-        # doesn't pin the whole batch's while_loop at max_steps; their y stays
-        # NaN, which propagates to the caller exactly as a failure should
-        done=(span <= 0) | jnp.isnan(y0) | jnp.isnan(f0),
+        done=(span <= 0) | jnp.isnan(y0),
         h_old=jnp.zeros((L,), dtype), err_old=jnp.full((L,), -1.0, dtype),
+        rej=jnp.zeros((L,), bool),
         steps=jnp.zeros((L,), jnp.int32), it=jnp.asarray(0, jnp.int32),
     )
 
@@ -254,10 +258,13 @@ def radau_scalar(
         scale_e = atol + jnp.maximum(jnp.abs(s.y), jnp.abs(y_new)) * rtol
         e_raw = (s.f0 + ZE) / den_r
         err = jnp.abs(e_raw) / scale_e
-        # stiffness-damped re-estimate where the plain one rejects
+        # stiffness-damped re-estimate, per the published construction (Hairer
+        # RADAU5 / scipy Radau): applied only on a RETRY of a rejected step
+        # ('if rejected and error_norm > 1') — using it on the first attempt
+        # would accept steps the reference error control rejects
         f_damp = f(s.x, s.y + e_raw, args)
         err2 = jnp.abs((f_damp + ZE) / den_r) / scale_e
-        err = jnp.where(err > 1.0, err2, err)
+        err = jnp.where(s.rej & (err > 1.0), err2, err)
 
         safety = 0.9 * (2.0 * newton_iters + 1.0) / (2.0 * newton_iters + nit)
         # predictive (two-step) controller where history exists
@@ -286,6 +293,7 @@ def radau_scalar(
             done=s.done | (accept & reached),
             h_old=jnp.where(accept, h_abs, s.h_old),
             err_old=jnp.where(accept, err, s.err_old),
+            rej=jnp.where(active, ~accept, s.rej),
             steps=s.steps + accept.astype(jnp.int32),
             it=s.it + 1,
         )

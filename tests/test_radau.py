@@ -159,3 +159,15 @@ def test_nan_lane_is_inert():
     np.testing.assert_allclose(
         np.asarray(ys)[:, 0], np.exp(-np.linspace(0.0, 2.0, 5)), rtol=1e-6
     )
+
+
+def test_nan_rhs_at_start_poisons_y():
+    """A finite y0 whose RHS is NaN at x0 must come back NaN — not be passed
+    off as the converged integral (done lanes read as ok)."""
+    def f(x, y, args):
+        return jnp.where(jnp.asarray(args) > 0, jnp.nan, -y)
+
+    r = radau_scalar(f, jnp.ones(2), 0.0, 2.0, args=jnp.asarray([1.0, -1.0]),
+                     rtol=1e-8, atol=1e-12)
+    assert np.isnan(np.asarray(r.y)[0])
+    np.testing.assert_allclose(float(r.y[1]), np.exp(-2.0), rtol=1e-6)
