@@ -188,3 +188,19 @@ def test_sharded_gas_in_batched_columns(co2_lines):
     Hb = jax.jit(jax.vmap(lambda t: rcm_mod.heating(r_s, t)))(Tb_s)
     H0 = rcm_mod.heating(r, Tb[1])
     np.testing.assert_allclose(np.asarray(Hb[1]), np.asarray(H0), rtol=1e-9)
+
+
+def test_sharded_gas_is_differentiable(co2_lines):
+    """jacfwd through a sharded line-by-line gas must match the unsharded
+    gas (on TPU this exercises the device-plan custom JVP; on CPU the oracle
+    dispatch — either way the sharded path must be differentiable)."""
+    nu = _grid(co2_lines)
+    gas = DirectGas.from_lines(co2_lines, 0.9, nu)
+    sg = shard_line_gas(gas, 4)
+    T = jnp.asarray([230.0, 300.0])
+    P = jnp.asarray([5e3, 6e4])
+    f_ref = lambda t: gas.raw_sigma(t, P).sum(axis=-1).sum()
+    f_sh = lambda t: sg.raw_sigma(t, P).sum(axis=-1).sum()
+    J_ref = np.asarray(jax.jacfwd(f_ref)(T))
+    J_sh = np.asarray(jax.jacfwd(f_sh)(T))
+    np.testing.assert_allclose(J_sh, J_ref, rtol=1e-10)
