@@ -136,10 +136,11 @@ def _cpu_reference_rate(lines, nu_full):
     Pp = 0.95 * P
 
     t0 = time.perf_counter()
-    # TIPS + intensity scaling (same formulas as ops.lineshape, numpy form)
+    # TIPS + intensity scaling (same formulas as ops.lineshape, numpy form);
+    # the fit is of Q(T)/Qref, so the intensity ratio is its RECIPROCAL
     TMIN, TMAX = 25.0, 1000.0
     x = (2.0 * T - (TMIN + TMAX)) / (TMAX - TMIN)
-    qq = np.polynomial.chebyshev.chebval(x, coeffs.T)
+    qq = 1.0 / np.polynomial.chebyshev.chebval(x, coeffs.T)
     c2 = 1.4387768775039338  # 100 h c / k
     num = np.exp(-c2 * Epp / T) * (1.0 - np.exp(-c2 * nu_l / T))
     den = np.exp(-c2 * Epp / 296.0) * (1.0 - np.exp(-c2 * nu_l / 296.0))
@@ -147,7 +148,6 @@ def _cpu_reference_rate(lines, nu_full):
     R = 8.31446261815324
     alpha = (nu_l / 2.99792458e8) * np.sqrt(2.0 * R * T / mu)
     gamma = (296.0 / T) ** na * (ga * (P - Pp) + gs * Pp) / 101325.0
-    sq = np.sqrt(np.log(2.0))
     evals = 0
     lo = np.searchsorted(nu_l, nu - CUT, side="left")
     hi = np.searchsorted(nu_l, nu + CUT, side="right")
@@ -156,8 +156,10 @@ def _cpu_reference_rate(lines, nu_full):
         a, b = lo[i], hi[i]
         if a == b:
             continue
-        z = (nu[i] - nu_l[a:b]) * sq / alpha[a:b] + 1j * gamma[a:b] * sq / alpha[a:b]
-        prof = (sq / np.sqrt(np.pi)) * np.real(wofz(z)) / alpha[a:b]
+        # the framework's 1/e-width convention (shape='voigt'), matching
+        # ops.lineshape.fvoigt — not the reference's mixed sqrt(ln2) formula
+        z = (nu[i] - nu_l[a:b]) / alpha[a:b] + 1j * gamma[a:b] / alpha[a:b]
+        prof = np.real(wofz(z)) / (np.sqrt(np.pi) * alpha[a:b])
         sig[i] = np.sum(S[a:b] * prof)
         evals += b - a
     dt = time.perf_counter() - t0
@@ -171,6 +173,14 @@ def _cpu_reference_rate(lines, nu_full):
 
 
 def main():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        raise SystemExit(
+            "bench.py measures the TPU kernel; refusing to print interpreter "
+            "throughput as line-evals/s/chip (backend: "
+            f"{jax.default_backend()})"
+        )
     lines, nu = _setup_lines()
     tpu_rate = bench_tpu(lines, nu)
     cpu_rate = _cpu_reference_rate(lines, nu)

@@ -45,7 +45,9 @@ def main():
     Pe = pressuregrid(10.0, PS, 16)
     Te = np.maximum(255.0 * (Pe / PS) ** (R_GAS / (MU * CP)), 150.0)
     S0 = 340.0 / np.cos(0.841)
-    fS = lambda v: jnp.full(jnp.shape(v), S0 / 1e4)
+    # normalize the flat stellar spectrum by the ACTUAL grid span so its
+    # trapz integral is S0 (the appended 1e5 tail point is 90% of the span)
+    fS = lambda v: jnp.full(jnp.shape(v), S0 / (nu[-1] - nu[0]))
     r = RCM.create(Pe, Te, G, lambda T, P: MU, fS, 0.1, lambda T, P: CP, 1e6, gas)
 
     n_dev = len(jax.devices())
@@ -61,9 +63,10 @@ def main():
     )(r_s, f_s, T_s)
     T_b = np.asarray(jax.block_until_ready(T_b))
     print(f"[{time.time()-t0:5.1f}s] {args.steps} steps x {args.nlat} columns")
-    print("  latitude [deg]   annual factor   surface T [K]")
-    for th, f, Ts in zip(np.asarray(theta), np.asarray(F), T_b[:, -1]):
-        print(f"    {np.degrees(th):8.1f}       {f:8.4f}      {Ts:8.2f}")
+    print("  latitude [deg]   forcing factor   surface T [K]")
+    for th, f, Ts in zip(np.asarray(theta), np.asarray(factors), T_b[:, -1]):
+        # the printed factor is the one the column was actually driven with
+        print(f"    {np.degrees(th):8.1f}       {float(f):8.4f}      {Ts:8.2f}")
 
 
 if __name__ == "__main__":

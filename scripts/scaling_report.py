@@ -35,7 +35,7 @@ import jax.numpy as jnp
 CO2_PAR = "/root/reference/test/HITRAN/CO2.par"
 
 
-def _bench_column(name, r, make_sharded_heating, spectral_mesh, devices, fn_extra=None):
+def _bench_column(name, r, make_sharded_heating, spectral_mesh, devices):
     print(f"== {name} ==")
     H_ref = None
     base = None
@@ -52,7 +52,7 @@ def _bench_column(name, r, make_sharded_heating, spectral_mesh, devices, fn_extr
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            out = hfn(r.T) if fn_extra is None else fn_extra(hfn, r)
+            out = hfn(r.T)
             jax.block_until_ready(out)
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
