@@ -32,3 +32,16 @@ def fixtures_dir():
     if not os.path.isdir(REF_FIXTURES):
         pytest.skip("reference HITRAN fixtures not available")
     return REF_FIXTURES
+
+
+def gray_analytic_olr(sigma, G, MU, CP, PS, TS):
+    """Closed-form gray-atmosphere OLR (Pierrehumbert eq. 4.32) on a dry
+    adiabat — the shared analytic anchor for both flux engines' gray tests
+    (ref test_gray.jl:15-24)."""
+    from scipy.integrate import quad
+    from clearsky_tpu.constants import R_GAS, SIGMA_SB, N_AVOGADRO
+
+    tau_inf = 1e-4 * sigma * N_AVOGADRO / (MU * G) * PS
+    gam = R_GAS / (MU * CP)
+    I, _ = quad(lambda t: np.exp(-t) * t ** (4 * gam), 0, tau_inf, limit=500)
+    return SIGMA_SB * TS**4 * (np.exp(-tau_inf) + tau_inf ** (-4 * gam) * I)

@@ -24,11 +24,10 @@ def dtau_dP(sigma):
 
 
 def analytic_olr(sigma):
-    """Pierrehumbert eq. 4.32 (ref test_gray.jl:15-24)."""
-    tau_inf = dtau_dP(sigma) * PS
-    gam = R_GAS / (MU * CP)
-    I, _ = quad(lambda t: np.exp(-t) * t ** (4 * gam), 0, tau_inf, limit=500)
-    return SIGMA_SB * TS**4 * (np.exp(-tau_inf) + tau_inf ** (-4 * gam) * I)
+    """Pierrehumbert eq. 4.32 (ref test_gray.jl:15-24); shared helper."""
+    from conftest import gray_analytic_olr
+
+    return gray_analytic_olr(sigma, G, MU, CP, PS, TS)
 
 
 @pytest.mark.parametrize("sigma", 10 ** np.linspace(-29, -23, 10))

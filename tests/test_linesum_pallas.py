@@ -60,6 +60,7 @@ def test_split_matches_nosplit(co2, shape, cut):
         plan, co2, T, P, 0.5 * P, shape, interpret=True, strategy="nosplit"))
     m = np.abs(b) > 1e-35
     np.testing.assert_allclose(a[m], b[m], rtol=1e-4, atol=0.0)
+    assert np.all(np.abs(a[~m]) < 1e-30)  # no spurious opacity off-window
 
 
 def test_pallas_phco2_sublorentzian(co2):
@@ -116,7 +117,7 @@ def test_state_group_scales_with_catalog(co2):
     The group solves the per-shape pack model exactly."""
     from clearsky_tpu.ops.linesum import _state_group, GROUP, GROUP_MAX
     from clearsky_tpu.ops.linesum_pallas import (
-        CHUNK, _RESIDENT_VMEM_LIMIT, _grouped_lane_cost, _resident_bytes_est,
+        _RESIDENT_VMEM_LIMIT, _grouped_lane_cost, _resident_bytes_est,
     )
 
     assert _state_group(600, 128) == GROUP_MAX        # tiny catalog: cap
@@ -167,6 +168,7 @@ def test_segmented_matches_resident(co2, shape, cut, limit):
     m = np.abs(ref) > 1e-35
     np.testing.assert_allclose(seg[m], res[m], rtol=1e-4, atol=0.0)
     np.testing.assert_allclose(seg[m], ref[m], rtol=2e-3, atol=1e-32)
+    assert np.all(np.abs(seg[~m]) < 1e-30)  # no cross-segment bleed
 
 
 def test_pallas_wide_state_batch_matches_oracle(co2):

@@ -66,10 +66,8 @@ def test_multigas_rce_approaches_balance(absorbers):
     F = rcm_mod.radiate_state(out)
     olr, absorbed = float(F.F_up[0]), float(F.F_down[0])
     # trending toward radiative balance at TOA
-    imb0 = abs(
-        float(rcm_mod.radiate_state(r).F_up[0])
-        - float(rcm_mod.radiate_state(r).F_down[0])
-    )
+    F0 = rcm_mod.radiate_state(r)
+    imb0 = abs(float(F0.F_up[0]) - float(F0.F_down[0]))
     imb = abs(olr - absorbed)
     assert np.all(np.isfinite(np.asarray(out.T)))
     assert imb < imb0  # imbalance shrank

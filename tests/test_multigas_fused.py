@@ -43,6 +43,8 @@ def test_multigas_matches_sum_of_directgas(catalogs):
     split = np.asarray(g_co2(T, P)) + np.asarray(g_h2o(T, P))
     m = split > 0
     np.testing.assert_allclose(fused[m], split[m], rtol=1e-10)
+    # two-sided: no spurious fused opacity where the split sum is exactly 0
+    assert np.all(np.abs(fused[~m]) <= split.max() * 1e-12)
 
 
 def test_merge_rejects_bad_concentration(catalogs):
@@ -71,6 +73,8 @@ def test_multigas_variable_concentration_matches_split(catalogs):
     split = np.asarray(g_co2(T, P)) + np.asarray(g_h2o(T, P))
     m = split > 0
     np.testing.assert_allclose(fused[m], split[m], rtol=1e-10)
+    # two-sided: no spurious fused opacity where the split sum is exactly 0
+    assert np.all(np.abs(fused[~m]) <= split.max() * 1e-12)
 
 
 def test_sharded_multigas_variable_concentration(catalogs):

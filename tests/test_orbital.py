@@ -72,7 +72,7 @@ def test_true_anomaly_range_and_distance():
 
 def test_hourangle_clamps():
     # polar night: high latitude, substellar point in the other hemisphere
-    assert float(hourangle(1.4, -0.4)) == 0.0 or float(hourangle(1.4, -0.4)) < 1e-6
+    assert abs(float(hourangle(1.4, -0.4))) < 1e-6  # polar night: exactly 0, never negative
     # polar day
     assert abs(float(hourangle(1.4, 0.4)) - np.pi) < 1e-6
 

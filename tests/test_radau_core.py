@@ -22,10 +22,9 @@ G, MU, CP, PS, TS = 10.0, 0.01, 1e3, 1e5, 300.0
 
 
 def _analytic_olr(sigma):
-    tau_inf = 1e-4 * sigma * N_AVOGADRO / (MU * G) * PS
-    gam = R_GAS / (MU * CP)
-    I, _ = quad(lambda t: np.exp(-t) * t ** (4 * gam), 0, tau_inf, limit=500)
-    return SIGMA_SB * TS**4 * (np.exp(-tau_inf) + tau_inf ** (-4 * gam) * I)
+    from conftest import gray_analytic_olr
+
+    return gray_analytic_olr(sigma, G, MU, CP, PS, TS)
 
 
 @pytest.mark.parametrize("sigma", [1e-28, 1e-26, 1e-24])
@@ -147,7 +146,7 @@ def test_rcm_heating_with_radau_core(co2_column, fixtures_dir):
     fcp = lambda T, P_: 850.0
     r_d = RCM.create(Pe, Te, G, fmu, 0.0, 0.0, fcp, 1e7, gas)
     r_a = RCM.create(Pe, Te, G, fmu, 0.0, 0.0, fcp, 1e7, gas,
-                     core=__import__("clearsky_tpu").Radau(tol=1e-7))
+                     core=Radau(tol=1e-7))
     H_d = np.asarray(rcm_mod.heating(r_d))
     H_a = np.asarray(rcm_mod.heating(r_a))
     scale = np.abs(H_d).max()

@@ -32,7 +32,9 @@ def make_rcm(sigma=5e-27, S0=0.0, albedo=0.0, Ts=280.0, nnu=400, radmul=2,
     else:
         Te = Ts * (Pe / PS) ** (R_GAS / (MU * CP))
         Te = np.maximum(Te, 150.0)
-    fS = (lambda v: jnp.full(jnp.shape(v), S0 / (1e4 - 1e-6))) if S0 else 0.0
+    # normalize over the ACTUAL grid span (the appended 1e5 tail point is
+    # 90% of it) so the trapz-integrated stellar flux is S0, not 10x S0
+    fS = (lambda v: jnp.full(jnp.shape(v), S0 / (1e5 - 1e-6))) if S0 else 0.0
     return rcm_mod.RCM.create(
         Pe, Te, G,
         lambda T, P: MU,
@@ -194,14 +196,14 @@ def test_rce_approaches_radiative_equilibrium():
     # long integration with stellar heating must drive OLR toward absorbed flux
     S0 = 240.0 / np.cos(0.841)  # so that absorbed ~ 240 W/m^2 at the default zenith
     r = make_rcm(sigma=2e-27, S0=S0, Ts=230.0, nnu=200)
-    out, _ = rcm_mod.run(r, 3e4, 400, update_every=0)
+    out, _ = rcm_mod.run(r, 3e4, 1200, update_every=0)
     F = rcm_mod.radiate_state(out)
     olr = float(F.F_up[0])
     absorbed = float(F.F_down[0])
     assert abs(olr - absorbed) / absorbed < 0.05
 
 
-def test_create_validates_lengths_before_sorting(fixtures_dir):
+def test_create_validates_lengths_before_sorting():
     """Pe/Te length mismatch must raise the intended ValueError — a longer Te
     was previously silently truncated by the argsort pairing."""
     from clearsky_tpu.absorption.gas import GrayGas
@@ -216,7 +218,7 @@ def test_create_validates_lengths_before_sorting(fixtures_dir):
         )
 
 
-def test_radaueq_core_refines_radiative_grid(fixtures_dir):
+def test_radaueq_core_refines_radiative_grid():
     """core=RadauEq(refine=r) must actually build the refined radiative grid
     (it was silently treated as a plain Discretized core in the RCM path)."""
     from clearsky_tpu.absorption.gas import GrayGas

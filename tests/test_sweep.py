@@ -22,7 +22,7 @@ def make_rcm(nnu=256):
     Pe = pressuregrid(10.0, PS, 16)
     Te = np.maximum(250.0 * (Pe / PS) ** (R_GAS / (MU * CP)), 150.0)
     S0 = 340.0 / np.cos(0.841)
-    fS = lambda v: jnp.full(jnp.shape(v), S0 / 1e4)
+    fS = lambda v: jnp.full(jnp.shape(v), S0 / (1e5 - 1e-6))  # actual grid span
     return rcm_mod.RCM.create(
         Pe, Te, G, lambda T, P: MU, fS, 0.1, lambda T, P: CP, 1e6, gas
     )
