@@ -88,9 +88,8 @@ def build_column_cache(P, fT, fmu, A, nlevels: int = 0) -> ColumnCache:
     ln = jnp.where(
         sig > 0, jnp.log(jnp.maximum(sig, jnp.finfo(sig.dtype).tiny)), _LOG_TINY
     )
-    return ColumnCache(
-        lnP=jnp.log(Pg), T=T, mu=mu, ln_sigma=jnp.maximum(ln, _LOG_TINY), nu=A.nu
-    )
+    # (log(max(sig, tiny)) >= _LOG_TINY already; no second floor needed)
+    return ColumnCache(lnP=jnp.log(Pg), T=T, mu=mu, ln_sigma=ln, nu=A.nu)
 
 
 def _bracket(lnp, lnPg):

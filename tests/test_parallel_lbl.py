@@ -204,3 +204,30 @@ def test_sharded_gas_is_differentiable(co2_lines):
     J_ref = np.asarray(jax.jacfwd(f_ref)(T))
     J_sh = np.asarray(jax.jacfwd(f_sh)(T))
     np.testing.assert_allclose(J_sh, J_ref, rtol=1e-10)
+
+
+def test_sharded_heating_jacobian_matches(co2_lines):
+    """jacfwd through the GSPMD-sharded heating (including the absorber
+    refresh) must match the single-device Jacobian — the multichip
+    equivalent of jacobian(update_sigma=True)."""
+    import dataclasses as dc
+
+    nu = _grid(co2_lines)
+    gas = DirectGas.from_lines(co2_lines, 0.9, nu)
+    r = _rcm(gas, n_levels=8)
+    mesh = spectral_mesh()
+    r_s = shard_spectral(shard_lbl(r, mesh.shape["nu"]), mesh, N_NU)
+    lnPe, lnP = jnp.log(r.Pe), jnp.log(r.P)
+
+    def H_of_T(rr):
+        def f(T):
+            A = rr.A.update(interp_linear(lnPe, lnP, T))
+            return rcm_mod.heating(rr, T, A)
+        return f
+
+    from clearsky_tpu.utils.interp import interp_linear
+
+    J_ref = np.asarray(jax.jacfwd(H_of_T(r))(r.T))
+    J_sh = np.asarray(jax.jit(jax.jacfwd(H_of_T(r_s)))(r_s.T))
+    scale = np.abs(J_ref).max()
+    np.testing.assert_allclose(J_sh, J_ref, rtol=1e-8, atol=scale * 1e-10)
