@@ -188,3 +188,18 @@ def test_pallas_wide_state_batch_matches_oracle(co2):
     m = np.abs(ref) > 1e-35
     np.testing.assert_allclose(out[m], ref[m], rtol=2e-3, atol=1e-32)
     assert np.all(np.abs(out[~m]) < 1e-30)
+
+
+def test_lane_strategy_matches_oracle(co2):
+    """The lane-major resident variant (strategy='lane', kept for A/B) must
+    stay correct as the grouped kernel evolves."""
+    nu = np.linspace(610.0, 780.0, 512)
+    plan = build_line_window_plan(nu, np.asarray(co2.nu), 25.0, block=128)
+    T = jnp.asarray([220.0, 300.0])
+    P = jnp.asarray([5e2, 8e4])
+    ref = np.asarray(sigma_from_lines(plan, co2, T, P, 0.5 * P, "voigt"))
+    out = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, 0.5 * P, "voigt", interpret=True, strategy="lane"))
+    m = np.abs(ref) > 1e-35
+    np.testing.assert_allclose(out[m], ref[m], rtol=2e-3, atol=1e-32)
+    assert np.all(np.abs(out[~m]) < 1e-30)
