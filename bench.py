@@ -135,34 +135,43 @@ def _cpu_reference_rate(lines, nu_full):
     T, P = 260.0, 1e4
     Pp = 0.95 * P
 
-    t0 = time.perf_counter()
-    # TIPS + intensity scaling (same formulas as ops.lineshape, numpy form);
-    # the fit is of Q(T)/Qref, so the intensity ratio is its RECIPROCAL
-    TMIN, TMAX = 25.0, 1000.0
-    x = (2.0 * T - (TMIN + TMAX)) / (TMAX - TMIN)
-    qq = 1.0 / np.polynomial.chebyshev.chebval(x, coeffs.T)
-    c2 = 1.4387768775039338  # 100 h c / k
-    num = np.exp(-c2 * Epp / T) * (1.0 - np.exp(-c2 * nu_l / T))
-    den = np.exp(-c2 * Epp / 296.0) * (1.0 - np.exp(-c2 * nu_l / 296.0))
-    S = S0 * qq * num / den
-    R = 8.31446261815324
-    alpha = (nu_l / 2.99792458e8) * np.sqrt(2.0 * R * T / mu)
-    gamma = (296.0 / T) ** na * (ga * (P - Pp) + gs * Pp) / 101325.0
-    evals = 0
-    lo = np.searchsorted(nu_l, nu - CUT, side="left")
-    hi = np.searchsorted(nu_l, nu + CUT, side="right")
-    sig = np.zeros(len(nu))
-    for i in range(len(nu)):
-        a, b = lo[i], hi[i]
-        if a == b:
-            continue
-        # the framework's 1/e-width convention (shape='voigt'), matching
-        # ops.lineshape.fvoigt — not the reference's mixed sqrt(ln2) formula
-        z = (nu[i] - nu_l[a:b]) / alpha[a:b] + 1j * gamma[a:b] / alpha[a:b]
-        prof = np.real(wofz(z)) / (np.sqrt(np.pi) * alpha[a:b])
-        sig[i] = np.sum(S[a:b] * prof)
-        evals += b - a
-    dt = time.perf_counter() - t0
+    # best-of-3: a single ~0.4 s sample is vulnerable to transient machine
+    # load (one stale cache under-measured the CPU class 2.2x, inflating
+    # vs_baseline); min over repeats is the standard unloaded estimate
+    best_dt, best_evals = None, 0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        # TIPS + intensity scaling (same formulas as ops.lineshape, numpy
+        # form); the fit is of Q(T)/Qref, so the intensity ratio is its
+        # RECIPROCAL
+        TMIN, TMAX = 25.0, 1000.0
+        x = (2.0 * T - (TMIN + TMAX)) / (TMAX - TMIN)
+        qq = 1.0 / np.polynomial.chebyshev.chebval(x, coeffs.T)
+        c2 = 1.4387768775039338  # 100 h c / k
+        num = np.exp(-c2 * Epp / T) * (1.0 - np.exp(-c2 * nu_l / T))
+        den = np.exp(-c2 * Epp / 296.0) * (1.0 - np.exp(-c2 * nu_l / 296.0))
+        S = S0 * qq * num / den
+        R = 8.31446261815324
+        alpha = (nu_l / 2.99792458e8) * np.sqrt(2.0 * R * T / mu)
+        gamma = (296.0 / T) ** na * (ga * (P - Pp) + gs * Pp) / 101325.0
+        evals = 0
+        lo = np.searchsorted(nu_l, nu - CUT, side="left")
+        hi = np.searchsorted(nu_l, nu + CUT, side="right")
+        sig = np.zeros(len(nu))
+        for i in range(len(nu)):
+            a, b = lo[i], hi[i]
+            if a == b:
+                continue
+            # the framework's 1/e-width convention (shape='voigt'), matching
+            # ops.lineshape.fvoigt — not the reference's mixed sqrt(ln2) formula
+            z = (nu[i] - nu_l[a:b]) / alpha[a:b] + 1j * gamma[a:b] / alpha[a:b]
+            prof = np.real(wofz(z)) / (np.sqrt(np.pi) * alpha[a:b])
+            sig[i] = np.sum(S[a:b] * prof)
+            evals += b - a
+        dt = time.perf_counter() - t0
+        if best_dt is None or dt < best_dt:
+            best_dt, best_evals = dt, evals
+    dt, evals = best_dt, best_evals
     rate = evals / dt
     with open(BASELINE_CACHE, "w") as f:
         json.dump(
