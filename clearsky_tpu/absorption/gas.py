@@ -147,6 +147,18 @@ def bake_sigma_grid(
             f"gas molar concentrations must be in [0,1], not {Cf[bad]} "
             f"(encountered @ {Tf[bad]} K, {Pf[bad]} Pa)"
         )
+    # progress via stdlib logging (the reference shows a ProgressMeter during
+    # bake, ref gases.jl:112-115): silent unless the caller configures the
+    # 'clearsky_tpu' logger — library code must not print unasked
+    import logging
+    import time as _time
+
+    log = logging.getLogger(__name__)
+    t_bake = _time.perf_counter()
+    log.info(
+        "baking sigma grid: %d (T,P) nodes x %d wavenumbers, %d lines (%s)",
+        len(Tf), len(nu), lines.nu.shape[0], shape,
+    )
     out = np.empty((len(Tf), len(nu)))
     for a in range(0, len(Tf), tp_batch):
         b = min(a + tp_batch, len(Tf))
@@ -160,6 +172,8 @@ def bake_sigma_grid(
                 shape,
             )
         )
+        log.debug("  baked nodes %d-%d / %d", a, b, len(Tf))
+    log.info("bake done in %.2f s", _time.perf_counter() - t_bake)
     sigma = out.reshape(domain.nT, domain.nP, len(nu))
     # mixed-zero underflow cleanup (ref gases.jl:132-142)
     smin = sigma.min(axis=(0, 1))

@@ -7,6 +7,7 @@ integral) as the entire communication budget.
 """
 
 from .mesh import (
+    init_multihost,
     spectral_mesh,
     trapz_weights,
     shard_spectral,
@@ -24,6 +25,7 @@ from .spectral import (
 from ..absorption.sharded import ShardedLineGas, shard_line_gas
 
 __all__ = [
+    "init_multihost",
     "spectral_mesh",
     "trapz_weights",
     "shard_spectral",

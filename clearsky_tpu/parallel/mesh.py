@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "init_multihost",
     "spectral_mesh",
     "trapz_weights",
     "shard_spectral",
@@ -32,6 +33,44 @@ __all__ = [
     "nu_spec",
     "spectral_pspecs",
 ]
+
+
+def init_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kwargs,
+) -> tuple[int, int]:
+    """Initialize the multi-host distributed runtime; returns
+    ``(process_index, process_count)``.
+
+    The reference is a single shared-memory process (SURVEY.md §2.3); scaling
+    the ('batch', 'nu') mesh beyond one host requires
+    ``jax.distributed.initialize`` before any device is touched, after which
+    :func:`spectral_mesh` sees the global device set and the spectral psum
+    rides ICI within a slice and DCN across hosts. Call this once per process,
+    before building meshes:
+
+        init_multihost("host0:1234", num_processes=4, process_id=rank)
+        mesh = spectral_mesh(n_batch=2)   # global devices
+
+    With no arguments, managed environments (TPU pods, SLURM, Open MPI) are
+    auto-detected; a plain single process (nothing to detect, or already
+    initialized) is a no-op, so library code can call this unconditionally.
+    """
+    if coordinator_address is None and num_processes in (None, 1) and process_id is None:
+        try:  # auto-detect managed clusters; plain single process stays local
+            jax.distributed.initialize(**kwargs)
+        except (RuntimeError, ValueError):
+            pass  # no cluster env / already initialized -> single process
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    return jax.process_index(), jax.process_count()
 
 
 def spectral_mesh(n_nu_shards: int | None = None, n_batch: int = 1, devices=None) -> Mesh:

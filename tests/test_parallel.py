@@ -46,6 +46,16 @@ def test_mesh_construction():
         spectral_mesh(n_nu_shards=3, n_batch=2)
 
 
+def test_init_multihost_single_process_noop():
+    # single process: a harmless no-op that reports rank 0 of 1 and leaves
+    # mesh construction over the (virtual) local devices intact
+    from clearsky_tpu.parallel import init_multihost
+
+    idx, cnt = init_multihost()
+    assert (idx, cnt) == (0, 1)
+    assert spectral_mesh().shape["nu"] == 8
+
+
 def test_trapz_weights_exact():
     nu = np.sort(np.random.default_rng(0).uniform(1.0, 100.0, 33))
     y = np.random.default_rng(1).normal(size=(4, 33))
