@@ -19,6 +19,9 @@ Axis conventions:
 
 from __future__ import annotations
 
+import os
+import warnings
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -61,8 +64,51 @@ def init_multihost(
     if coordinator_address is None and num_processes in (None, 1) and process_id is None:
         try:  # auto-detect managed clusters; plain single process stays local
             jax.distributed.initialize(**kwargs)
-        except (RuntimeError, ValueError):
-            pass  # no cluster env / already initialized -> single process
+        except (RuntimeError, ValueError) as e:
+            # Only a true "nothing to detect / already initialized" case may
+            # degrade to single-process. If a managed-cluster environment IS
+            # present (SLURM, Open MPI, TPU pods), a failure here means the
+            # coordinator is unreachable or the env is inconsistent — running
+            # every rank as process 0 of 1 would silently break collectives,
+            # so fail loudly instead (advisor finding, round 2).
+            def _multi(v, split=None):
+                raw = os.environ.get(v, "")
+                if not raw:
+                    return False
+                if split is not None:  # host lists: >1 entry means a real pod
+                    return len([h for h in raw.split(split) if h]) > 1
+                try:
+                    return int(raw) > 1
+                except ValueError:
+                    return True  # unparseable size var: be loud, not silent
+            checks = {
+                "SLURM_NTASKS": _multi("SLURM_NTASKS"),
+                "OMPI_COMM_WORLD_SIZE": _multi("OMPI_COMM_WORLD_SIZE"),
+                "PMI_SIZE": _multi("PMI_SIZE"),
+                # single-worker TPU attachments (e.g. tunneled single chips)
+                # also set this var; only >1 hostnames means a pod
+                "TPU_WORKER_HOSTNAMES": _multi("TPU_WORKER_HOSTNAMES", ","),
+                "COORDINATOR_ADDRESS": bool(os.environ.get("COORDINATOR_ADDRESS")),
+                "JAX_COORDINATOR_ADDRESS": bool(os.environ.get("JAX_COORDINATOR_ADDRESS")),
+                "MEGASCALE_COORDINATOR_ADDRESS": bool(
+                    os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+                ),
+            }
+            cluster_vars = [k for k, hit in checks.items() if hit]
+            if cluster_vars:
+                raise RuntimeError(
+                    "jax.distributed.initialize() failed while managed-cluster "
+                    f"environment variables are set ({', '.join(cluster_vars)}); "
+                    "refusing to degrade to a single process. Fix the cluster "
+                    "env or pass coordinator_address/num_processes/process_id "
+                    "explicitly."
+                ) from e
+            warnings.warn(
+                f"init_multihost: auto-detect found no cluster ({e}); "
+                "continuing as a single process.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
