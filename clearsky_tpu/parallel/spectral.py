@@ -144,6 +144,11 @@ def make_sharded_heating(mesh: Mesh, rcm):
         return jitted(rcm_s, w_s, T, rcm_s.A if A is None else A)
 
     heating_fn.rcm_sharded = rcm_s
+    # the underlying jitted program + its bound leading args, so callers can
+    # lower/compile and audit the collective schedule (tests/test_parallel.py
+    # asserts the one-psum-per-step claim from the compiled HLO)
+    heating_fn.jitted = jitted
+    heating_fn.bound_args = (rcm_s, w_s)
     return heating_fn
 
 
@@ -194,4 +199,6 @@ def make_sharded_step(mesh: Mesh, rcm, dt, update_every: int = 0):
         return jitted(rcm_s, w_s, T, rcm_s.A if A is None else A, jnp.asarray(i))
 
     step_fn.rcm_sharded = rcm_s
+    step_fn.jitted = jitted
+    step_fn.bound_args = (rcm_s, w_s)
     return step_fn

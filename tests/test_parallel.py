@@ -100,6 +100,56 @@ def test_shard_map_step_trajectory_matches():
     np.testing.assert_allclose(np.asarray(T), np.asarray(out.T), rtol=1e-9)
 
 
+def _collective_counts(hlo_text):
+    import re
+    from collections import Counter
+
+    ops = re.findall(
+        r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+        r"(?:-start|-done)?\(",
+        hlo_text,
+    )
+    return Counter(ops)
+
+
+def test_sharded_step_compiles_to_one_collective(fixtures_dir):
+    """The 'one psum per step' claim, checked against the compiled HLO.
+
+    The design folds trapz into pointwise weights so the spectral integral is
+    the ONLY cross-shard reduction (SURVEY.md §2.3); the cached cross-section
+    refresh is per-wavenumber and must add no communication. This asserts the
+    compiled program contains exactly one all-reduce and no other collective,
+    on the flagship line-by-line path (DirectGas -> nu-sharded line slabs).
+    """
+    from clearsky_tpu.absorption.gas import DirectGas
+    from clearsky_tpu.spectra.lines import SpectralLines
+
+    lines = SpectralLines.from_par(f"{fixtures_dir}/CO2.par", maxlines=200)
+    nu_l = np.asarray(lines.nu)
+    nu = np.linspace(max(nu_l.min() - 25.0, 1.0), nu_l.max() + 25.0, 64)
+    gas = DirectGas.from_lines(lines, 0.9, nu)
+    Pe = pressuregrid(PT, PS, 8)
+    Te = np.maximum(280.0 * (Pe / PS) ** (R_GAS / (MU * CP)), 150.0)
+    r = rcm_mod.RCM.create(
+        Pe, Te, G, lambda T, P: MU, 1e-3, 0.1, lambda T, P: CP, 1e7, gas
+    )
+    mesh = spectral_mesh(n_batch=2)
+
+    sfn = make_sharded_step(mesh, r, dt=300.0, update_every=1)
+    rs, ws = sfn.bound_args
+    txt = sfn.jitted.lower(rs, ws, r.T, rs.A, jnp.asarray(0)).compile().as_text()
+    counts = _collective_counts(txt)
+    assert counts.get("all-reduce", 0) == 1, counts
+    assert sum(counts.values()) == 1, counts
+
+    hfn = make_sharded_heating(mesh, r)
+    rs, ws = hfn.bound_args
+    txt = hfn.jitted.lower(rs, ws, r.T, rs.A).compile().as_text()
+    counts = _collective_counts(txt)
+    assert counts.get("all-reduce", 0) == 1, counts
+    assert sum(counts.values()) == 1, counts
+
+
 def test_batched_columns_on_mesh():
     # data parallelism: vmapped heating over a batch of temperature columns,
     # batch axis on the mesh's 'batch' dimension
