@@ -231,3 +231,56 @@ def test_sharded_heating_jacobian_matches(co2_lines):
     J_sh = np.asarray(jax.jit(jax.jacfwd(H_of_T(r_s)))(r_s.T))
     scale = np.abs(J_ref).max()
     np.testing.assert_allclose(J_sh, J_ref, rtol=1e-8, atol=scale * 1e-10)
+
+
+def test_baked_table_gas_under_mesh(co2_lines, fixtures_dir):
+    """Table-mode Gas (+BoundCIA) under shard_map and GSPMD vs single device,
+    including an AcceleratedAbsorber.update refresh over the sharded table.
+
+    The baked table's coeffs are [nT*nP, n_nu] (ref gases.jl:205-213), so the
+    trailing-axis rule shards them over 'nu'; nothing converts (shard_lbl is a
+    no-op for table gases) and the physics must be reduction-order identical.
+    """
+    from clearsky_tpu.absorption.domain import AtmosphericDomain
+    from clearsky_tpu.absorption.gas import Gas
+
+    nu = _grid(co2_lines, n=256)
+    dom = AtmosphericDomain.create((150.0, 350.0), 8, (PT, PS), 12)
+    gas = Gas.from_lines(co2_lines, 0.9, nu, dom)
+    cia = CIATables.from_file(f"{fixtures_dir}/CO2-CO2_2018.cia")
+    r = _rcm(gas, cia)
+    mesh = spectral_mesh()
+
+    # GSPMD radiate
+    F_ref = rcm_mod.radiate_state(r)
+    F_sh = sharded_radiate(mesh, r)
+    np.testing.assert_allclose(
+        np.asarray(F_sh.F_net), np.asarray(F_ref.F_net), rtol=1e-12
+    )
+
+    # shard_map heating
+    H_ref = np.asarray(rcm_mod.heating(r))
+    hfn = make_sharded_heating(mesh, r)
+    np.testing.assert_allclose(
+        np.asarray(hfn(r.T)), H_ref, rtol=1e-9,
+        atol=1e-9 * np.abs(H_ref).max(),
+    )
+
+    # AcceleratedAbsorber.update over the sharded table (the refresh path
+    # evaluates the Chebyshev contraction against sharded coeffs)
+    r_s = shard_spectral(r, mesh, 256)
+    Te2 = jnp.linspace(160.0, 290.0, r.Pe.shape[0])
+    A_ref = r.A.update(Te2)
+    A_sh = jax.jit(lambda a, t: a.update(t))(r_s.A, Te2)
+    np.testing.assert_allclose(
+        np.asarray(A_sh.ln_sigma), np.asarray(A_ref.ln_sigma),
+        rtol=1e-10, atol=1e-12,
+    )
+
+    # full sharded step trajectory with refresh cadence
+    sfn = make_sharded_step(mesh, r, dt=300.0, update_every=2)
+    T, A = r.T, sfn.rcm_sharded.A
+    for i in range(4):
+        T, A = sfn(T, A, i)
+    out, _ = rcm_mod.run(r, 300.0, 4, update_every=2)
+    np.testing.assert_allclose(np.asarray(T), np.asarray(out.T), rtol=1e-9)
