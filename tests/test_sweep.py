@@ -64,3 +64,41 @@ def test_sweep_with_latitude_factors_and_mesh():
     # equator (middle latitudes) receives more flux -> less cooling at surface
     # (factors F are symmetric: F[1], F[2] inner > F[0], F[3] poles)
     assert np.asarray(F)[1] > np.asarray(F)[0]
+
+
+def test_run_sweep_multigas_lbl(fixtures_dir):
+    """LBL sweep (config 5 with real gases): a fused CO2+H2O MultiGas column
+    batch must integrate on the sweep path with refresh + adjustment cadences
+    and match the single-column run loop per factor. Anchor: the
+    insolation-driven sweep on ref insolation.jl:65-94."""
+    import dataclasses
+    from clearsky_tpu.spectra.lines import SpectralLines
+    from clearsky_tpu.absorption.gas import MultiGas
+
+    co2 = SpectralLines.from_par(f"{fixtures_dir}/CO2.par", maxlines=150)
+    h2o = SpectralLines.from_par(f"{fixtures_dir}/H2O.par", maxlines=100)
+    nu_l = np.asarray(co2.nu)
+    nu = np.linspace(max(nu_l.min() - 25.0, 1.0), nu_l.max() + 25.0, 128)
+    mg = MultiGas.from_lines([(co2, 0.9), (h2o, 0.005)], nu)
+    Pe = pressuregrid(10.0, PS, 10)
+    Te = np.maximum(260.0 * (Pe / PS) ** (R_GAS / (MU * CP)), 150.0)
+    S0 = 340.0 / np.cos(0.841)
+    span = float(nu[-1] - nu[0])
+    fS = lambda v: jnp.full(jnp.shape(v), S0 / span)
+    r = rcm_mod.RCM.create(
+        Pe, Te, G, lambda T, P: MU, fS, 0.1, lambda T, P: CP, 1e6, mg
+    )
+    factors = jnp.asarray([0.5, 1.0, 2.0])
+    T_b, A_b = run_sweep(
+        r, factors, dt=2e4, nsteps=6, update_every=2,
+        adjust_every=3, cp=CP, mu=MU,
+    )
+    T_b = np.asarray(T_b)
+    assert np.all(np.isfinite(T_b))
+    # per-factor equivalence with the single-column composed loop
+    for i, f in enumerate([0.5, 1.0, 2.0]):
+        ri = dataclasses.replace(r, S_nu=r.S_nu * f)
+        out, _ = rcm_mod.run(
+            ri, 2e4, 6, update_every=2, adjust_every=3, cp=CP, mu=MU
+        )
+        np.testing.assert_allclose(T_b[i], np.asarray(out.T), rtol=1e-10)
