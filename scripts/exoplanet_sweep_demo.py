@@ -42,8 +42,9 @@ def build_rcm(args):
         nu = np.concatenate([logrange(1e-6, 1e4, args.nnu - 1, 3), [1e5]])
         gas = GrayGas.create(4e-27, nu)
     else:
-        co2 = SpectralLines.from_par(CO2_PAR, maxlines=args.maxlines or None)
-        h2o = SpectralLines.from_par(H2O_PAR, maxlines=args.maxlines or None)
+        kw = {"maxlines": args.maxlines} if args.maxlines else {}
+        co2 = SpectralLines.from_par(CO2_PAR, **kw)
+        h2o = SpectralLines.from_par(H2O_PAR, **kw)
         nu_l = np.asarray(co2.nu)
         nu = np.linspace(max(nu_l.min() - 25.0, 1.0), nu_l.max() + 25.0, args.nnu)
         gas = MultiGas.from_lines([(co2, 0.9), (h2o, 0.005)], nu)
