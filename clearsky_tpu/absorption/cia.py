@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import P_ATM, T_ICE, K_BOLTZ, LOSCHMIDT_SQ
+from ..constants import P_ATM, T_ICE, K_BOLTZ, LOSCHMIDT
 from ..utils.interp import interp_linear
 
 __all__ = ["read_cia", "CIATables", "BoundCIA", "CIA", "cia_xsec"]
@@ -241,7 +241,10 @@ def cia_xsec(k, T, Pa, P1, P2):
     rho1 = (P1 / P_ATM) * (T_ICE / T)
     rho2 = (P2 / P_ATM) * (T_ICE / T)
     rho_a = 1e-6 * Pa / (K_BOLTZ * T)
-    return (k * LOSCHMIDT_SQ) * rho1 * rho2 / rho_a
+    # float32-safe ordering: Lo^2 = 7.2e38 overflows f32 (max 3.4e38), which
+    # NaN'd the whole CIA path on TPU; k*Lo (~1e-26) and Lo/rho_a (~1e-6 at
+    # surface conditions) are both representable, so apply Lo twice
+    return ((k * LOSCHMIDT) * (LOSCHMIDT / rho_a)) * rho1 * rho2
 
 
 @jax.tree_util.register_dataclass

@@ -25,6 +25,11 @@ DALTON = 1.66053907e-27
 G_GRAV = 6.6743e-11
 # Loschmidt number squared [molecules^2/cm^6]  (ref constants.jl:20, 𝐋𝐨²)
 LOSCHMIDT_SQ = 7.21879268e38
+# Loschmidt number [molecules/cm^3 at 1 amagat] — kept separately because
+# LOSCHMIDT_SQ (7.2e38) exceeds float32 max (3.4e38): f32 compute paths (the
+# TPU) must multiply by LOSCHMIDT twice instead of by the squared constant
+# once (see absorption.cia.cia_xsec)
+LOSCHMIDT = 2.686781e19
 
 # HITRAN reference temperature [K]  (ref constants.jl:23, 𝐓ᵣ)
 T_REF_HITRAN = 296.0

@@ -229,9 +229,12 @@ def outgoing_flux(tau, B, nstream: int, vertical: bool = False):
         nstream = 1
     else:
         m, W = stream_nodes(nstream)
+    # take the stream count from the HOST arrays before the device cast:
+    # inside a jit trace the dtype cast stages an op (m becomes a tracer)
+    # and np.asarray(m) would raise TracerArrayConversionError
+    nstream, n_nu = len(m), tau.shape[1]
     m = jnp.asarray(m, dtype=tau.dtype)
     W = jnp.asarray(W, dtype=tau.dtype)
-    nstream, n_nu = len(np.asarray(m)), tau.shape[1]
     tau_m = tau[:, None, :] * m[None, :, None]
     I_surf = jnp.broadcast_to(B[-1][None, :], (nstream, n_nu))
     Is_up = _march(tau_m[::-1], B[1:][::-1], B[:-1][::-1], I_surf)

@@ -70,3 +70,51 @@ def test_cia_xsec_amagat_conversion(stack):
     s = np.asarray(cia_xsec(k, 250.0, 5e4, 5e4, 5e4))
     assert s.shape == (len(np.asarray(nu)),)
     assert np.all(s >= 0.0) and s.max() > 0.0
+
+
+def test_cia_sigma_finite_in_float32(fixtures_dir):
+    """f32 regression: the amagat conversion must not touch Lo^2 = 7.2e38
+    (overflows float32 max 3.4e38 -> inf -> NaN through the whole CIA path on
+    TPU, found driving configs 2-3 at production scale). The f64 suite cannot
+    see this, so the test forces an f32 pytree."""
+    import jax
+    from clearsky_tpu.spectra.lines import SpectralLines
+    from clearsky_tpu.absorption.gas import MultiGas
+    from clearsky_tpu.absorption.cia import CIATables
+    from clearsky_tpu.absorption.absorbers import unify_absorbers
+
+    co2 = SpectralLines.from_par(f"{fixtures_dir}/CO2.par", maxlines=200)
+    nu_l = np.asarray(co2.nu)
+    nu = np.linspace(max(nu_l.min() - 25.0, 1.0), nu_l.max() + 25.0, 128)
+    mg = MultiGas.from_lines([(co2, 0.95)], nu)
+    cia = CIATables.from_file(f"{fixtures_dir}/CO2-CO2_2018.cia")
+    A = unify_absorbers((mg, cia))
+
+    def to_f32(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, jnp.float32)
+        return x
+
+    # the conversion itself, with f32 inputs (python-float constants are
+    # weakly typed, so the whole chain stays f32 — the old k*LOSCHMIDT_SQ
+    # form casts 7.2e38 to f32 inf here and NaNs)
+    from clearsky_tpu.absorption.cia import cia_xsec
+
+    k = jnp.asarray([1e-44, 1e-40, 3e-38], jnp.float32)
+    T32 = jnp.asarray(250.0, jnp.float32)
+    Pa = jnp.asarray(1e5, jnp.float32)
+    P1 = jnp.asarray(9.5e4, jnp.float32)
+    sig32 = np.asarray(cia_xsec(k, T32, Pa, P1, P1))
+    assert sig32.dtype == np.float32
+    assert np.all(np.isfinite(sig32)), "cia_xsec overflowed in float32"
+    sig64 = np.asarray(
+        cia_xsec(k.astype(jnp.float64), 250.0, 1e5, 9.5e4, 9.5e4)
+    )
+    np.testing.assert_allclose(sig32, sig64, rtol=1e-5)
+
+    # and the full f32-cast absorber stack must stay finite end to end
+    A32 = jax.tree.map(to_f32, A)
+    T = jnp.asarray([160.0, 250.0, 288.0], jnp.float32)
+    P = jnp.asarray([1e2, 1e4, 1e5], jnp.float32)
+    sig_stack = np.asarray(A32.sigma(T, P))
+    assert np.all(np.isfinite(sig_stack))
