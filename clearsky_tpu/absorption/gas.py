@@ -108,6 +108,7 @@ def bake_sigma_grid(
     block: int = 128,
     tp_batch: int = 16,
     backend: str = "auto",
+    device_out: bool = False,
 ) -> np.ndarray:
     """Fill the sigma[nT, nP, n_nu] cross-section grid (the reference's ``bake``).
 
@@ -159,22 +160,30 @@ def bake_sigma_grid(
         "baking sigma grid: %d (T,P) nodes x %d wavenumbers, %d lines (%s)",
         len(Tf), len(nu), lines.nu.shape[0], shape,
     )
-    out = np.empty((len(Tf), len(nu)))
+    chunks = []
     for a in range(0, len(Tf), tp_batch):
         b = min(a + tp_batch, len(Tf))
-        out[a:b] = np.asarray(
-            eval_fn(
-                plan,
-                lines,
-                jnp.asarray(Tf[a:b]),
-                jnp.asarray(Pf[a:b]),
-                jnp.asarray(Cf[a:b] * Pf[a:b]),
-                shape,
-            )
+        chunk = eval_fn(
+            plan,
+            lines,
+            jnp.asarray(Tf[a:b]),
+            jnp.asarray(Pf[a:b]),
+            jnp.asarray(Cf[a:b] * Pf[a:b]),
+            shape,
         )
+        # device_out: keep every batch ON DEVICE — a production-scale table
+        # ([288, 2^19] f32 ~ 600 MB) pulled to host and pushed back through
+        # the remote relay costs minutes; the device pipeline costs seconds
+        chunks.append(chunk if device_out else np.asarray(chunk))
         log.debug("  baked nodes %d-%d / %d", a, b, len(Tf))
     log.info("bake done in %.2f s", _time.perf_counter() - t_bake)
-    sigma = out.reshape(domain.nT, domain.nP, len(nu))
+    if device_out:
+        sigma = jnp.concatenate(chunks).reshape(domain.nT, domain.nP, len(nu))
+        smin = sigma.min(axis=(0, 1))
+        smax = sigma.max(axis=(0, 1))
+        mixed = (smin == 0.0) & (smax > 0.0)
+        return jnp.where(mixed[None, None, :], 0.0, sigma)
+    sigma = np.concatenate(chunks).reshape(domain.nT, domain.nP, len(nu))
     # mixed-zero underflow cleanup (ref gases.jl:132-142)
     smin = sigma.min(axis=(0, 1))
     smax = sigma.max(axis=(0, 1))
@@ -182,6 +191,23 @@ def bake_sigma_grid(
     if mixed.any():
         sigma[:, :, mixed] = 0.0
     return sigma
+
+
+def _ln_sigma_coeffs_device(sigma, domain: AtmosphericDomain):
+    """Device-resident twin of :func:`_ln_sigma_coeffs`: same log floors and
+    all-zero handling, but jnp end to end (one jit, no host transfer)."""
+
+    @jax.jit
+    def fit(sig):
+        tiny = jnp.finfo(sig.dtype).tiny
+        ln = jnp.where(sig > 0.0, jnp.log(jnp.maximum(sig, tiny)), _LOG_TINY)
+        allzero = (sig <= tiny).all(axis=(0, 1))
+        ln = jnp.where(allzero[None, None, :], _LOG_TINY, ln)
+        coeffs = cheb2d_coeffs(jnp.moveaxis(ln, -1, 0))  # [n_nu, nT, nP]
+        nT, nP = sig.shape[0], sig.shape[1]
+        return jnp.moveaxis(coeffs.reshape(-1, nT * nP), 0, -1)
+
+    return fit(jnp.asarray(sigma))
 
 
 def _ln_sigma_coeffs(sigma: np.ndarray, domain: AtmosphericDomain) -> np.ndarray:
@@ -230,8 +256,20 @@ class Gas(AbstractGas):
         **bake_kwargs,
     ) -> "Gas":
         """Bake a gas from spectral lines. Ref gases.jl:225-238."""
-        sigma = bake_sigma_grid(lines, fC, nu, domain, shape=shape, cut=cut, **bake_kwargs)
-        coeffs = _ln_sigma_coeffs(sigma, domain)
+        if jax.default_backend() == "tpu" and "backend" not in bake_kwargs:
+            # keep the whole bake -> log -> Chebyshev-fit pipeline on device:
+            # at production scale the host round-trips through the remote
+            # relay dominate the bake (measured 330 s vs seconds)
+            sigma = bake_sigma_grid(
+                lines, fC, nu, domain, shape=shape, cut=cut,
+                device_out=True, **bake_kwargs,
+            )
+            coeffs = _ln_sigma_coeffs_device(sigma, domain)
+        else:
+            sigma = bake_sigma_grid(
+                lines, fC, nu, domain, shape=shape, cut=cut, **bake_kwargs
+            )
+            coeffs = _ln_sigma_coeffs(sigma, domain)
         dtype = dtype or jnp.asarray(1.0).dtype
         return cls(
             nu=jnp.asarray(np.asarray(nu), dtype=dtype),

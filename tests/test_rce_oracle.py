@@ -42,6 +42,67 @@ def _rcm(fixtures_dir, radmul=2):
     )
 
 
+def _rcm_config4(fixtures_dir, radmul=2, nnu=1024):
+    """BASELINE config-4 class: full CO2+H2O fused MultiGas + CO2-CO2 CIA,
+    20 levels, >=1024 wavenumbers (ref radiative_convective.jl:108-171)."""
+    from clearsky_tpu.absorption.gas import MultiGas
+    from clearsky_tpu.absorption.cia import CIATables
+
+    co2 = SpectralLines.from_par(f"{fixtures_dir}/CO2.par")
+    h2o = SpectralLines.from_par(f"{fixtures_dir}/H2O.par")
+    nu_l = np.asarray(co2.nu)
+    nu = np.linspace(max(nu_l.min() - 25.0, 1.0), nu_l.max() + 25.0, nnu)
+    mg = MultiGas.from_lines([(co2, 0.9), (h2o, 0.005)], nu)
+    cia = CIATables.from_file(f"{fixtures_dir}/CO2-CO2_2018.cia")
+    Pe = pressuregrid(PT, PS, 20)
+    Te = np.maximum(285.0 * (Pe / PS) ** (R_GAS / (MU * CP)), 160.0)
+    return rcm_mod.RCM.create(
+        Pe, Te, G, lambda T, P: MU, 0.0, 0.0, lambda T, P: CP, 1e7, mg, cia,
+        radmul=radmul,
+    )
+
+
+@pytest.mark.slow
+def test_rce_config4_heating_and_radmul_convergence(fixtures_dir):
+    """Initial-state heating vs the oracle at production scale, and the
+    radmul-refinement convergence that was previously only prose in
+    BASELINE.md: the discretized-core error must drop when the radiative
+    grid is refined (measured 6.5e-3 -> 2.0e-3 of peak, ratio 0.31)."""
+    errs = {}
+    for radmul in (2, 4):
+        r = _rcm_config4(fixtures_dir, radmul=radmul)
+        H = np.asarray(rcm_mod.heating(r))
+        O = ode_ref.ode_heating(r, rtol=1e-5, atol=1e-8)
+        errs[radmul] = np.abs(H - O).max() / np.abs(O).max()
+    # measured 6.5e-3 at radmul=2; assert with ~2x slack
+    assert errs[2] < 0.015, errs
+    # convergence: refinement must at least halve the error (measured 0.31x)
+    assert errs[4] < 0.6 * errs[2], errs
+
+
+@pytest.mark.slow
+def test_rce_config4_500step_trajectory(fixtures_dir):
+    """500-step RCE trajectory at production scale vs the pooled adaptive
+    oracle, with BOTH user-loop cadences active (cross-section refresh every
+    20 steps, convective adjustment every 5) in both loops. The 1000-step
+    measurement (scripts/rce_config4_oracle.py, BASELINE.md round 3) anchors
+    the tolerance."""
+    NS, DT, UE, AE = 500, 2e4, 20, 5
+    r = _rcm_config4(fixtures_dir)
+    out, recs = rcm_mod.run(
+        r, DT, NS, update_every=UE, adjust_every=AE, cp=CP, mu=MU,
+        record_every=1,
+    )
+    traj = ode_ref.ode_run(
+        r, DT, NS, update_every=UE, adjust_every=AE, cp=CP, mu=MU,
+        processes=4, rtol=1e-5, atol=1e-8,
+    )
+    dT = np.abs(np.asarray(recs) - traj)
+    # measurement-derived bar: see BASELINE.md round-3 config-4 row
+    assert dT.max() < 0.25, dT.max()
+    assert np.all(np.isfinite(np.asarray(out.T)))
+
+
 @pytest.mark.slow
 def test_rce_trajectory_tracks_adaptive_oracle(fixtures_dir):
     r = _rcm(fixtures_dir)
