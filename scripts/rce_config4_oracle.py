@@ -9,7 +9,12 @@ independent scipy-Radau oracle loop. Reports max|dT| over the whole
 trajectory and the radmul-convergence of the initial heating profile.
 
 Usage: python scripts/rce_config4_oracle.py [--steps 1000] [--nnu 1024]
-Writes .cache_config4_oracle.npz + prints one JSON report.
+Writes tests/golden/config4_oracle_1000step.npz (the frozen oracle that
+tests/test_rce_oracle.py::test_rce_config4_500step_trajectory asserts
+against) + prints one JSON report. Measured round 3: max|dT| 3.01 K over
+1000 steps (2.03 K over the first 500), final 1.70 K, surface T agreement
+0.08 K — the transients live in the convective-adjustment levels 14-18;
+the purely radiative levels stay within 0.46 K (wall: 1967 s on 4 CPUs).
 """
 
 import argparse
@@ -105,7 +110,7 @@ def main():
     rep["wall_s"] = time.time() - t0
     np.savez(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".cache_config4_oracle.npz"),
+                     "tests", "golden", "config4_oracle_1000step.npz"),
         recs=recs, traj=traj, meta=json.dumps(rep),
     )
     print(json.dumps(rep, indent=1))

@@ -28,25 +28,30 @@ PAR_DIR = "/root/reference/test/HITRAN"
 G, MU, CP, PS, PT = 9.8, 0.044, 850.0, 1e5, 10.0
 
 
-def timed_chain(make_fn, x0, K, reps=3):
-    """min wall of a K-chained jit with data dependency, minus min-of-5 RTT."""
+def timed_chain(make_fn, x0, K, reps=3, extra=None):
+    """min wall of a K-chained jit with data dependency, minus min-of-5 RTT.
+
+    ``extra`` (e.g. the absorber pytree) is passed as a TRACED argument —
+    closure-capturing a baked table's 600 MB coefficient tensor turns it
+    into an HLO constant and blows the remote-compile request limit.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
-    def chained(x):
+    def chained(x, extra):
         def body(c, _):
-            y = make_fn(c)
+            y = make_fn(c, extra)
             return c + 1e-30 * y.sum(), None
         c, _ = lax.scan(body, x, None, length=K)
         return c
 
-    float(np.asarray(chained(x0)).sum())  # compile + settle
+    float(np.asarray(chained(x0, extra)).sum())  # compile + settle
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
-        float(np.asarray(chained(x0 + 0.01 * i)).sum())
+        float(np.asarray(chained(x0 + 0.01 * i, extra)).sum())
         times.append(time.perf_counter() - t0)
     rtts = []
     for i in range(5):
@@ -113,18 +118,15 @@ def main():
 
     Pg = jnp.asarray(Pe)
 
-    def olr_of(absorber):
-        A = unify_absorbers((absorber,))
-
-        def f(s):
-            fTs = lambda P: interp_linear(jnp.log(P), lnPe, Tj + 1e-12 * s)
-            tau = _column_tau(Pg, G, fTs, fmu, A, 3)
-            B = _planck_levels(Pg, A.nu, fTs)
-            return outgoing_flux(tau, B, 5)
-        return f
+    def olr_core(s, A):
+        fTs = lambda P: interp_linear(jnp.log(P), lnPe, Tj + 1e-12 * s)
+        tau = _column_tau(Pg, G, fTs, fmu, A, 3)
+        B = _planck_levels(Pg, A.nu, fTs)
+        return outgoing_flux(tau, B, 5)
 
     x0 = jnp.asarray(0.0)
-    dt_direct = timed_chain(olr_of(co2_direct), x0, K=4)
+    dt_direct = timed_chain(olr_core, x0, K=4,
+                            extra=unify_absorbers((co2_direct,)))
     rep["olr_direct_s"] = dt_direct
     olr_direct = np.asarray(outgoing(np.asarray(Pe), G, fT, fmu, co2_direct))
     rep["olr_direct_band"] = float(np.trapezoid(olr_direct, nu))
@@ -137,7 +139,8 @@ def main():
     co2_table = Gas.from_lines(co2, 0.95, nu, dom)
     jax.block_until_ready(co2_table.coeffs)
     rep["bake_s_co2"] = time.time() - t_b
-    dt_table = timed_chain(olr_of(co2_table), x0, K=4)
+    dt_table = timed_chain(olr_core, x0, K=4,
+                           extra=unify_absorbers((co2_table,)))
     rep["olr_table_s"] = dt_table
     olr_table = np.asarray(outgoing(np.asarray(Pe), G, fT, fmu, co2_table))
     rep["olr_table_band"] = float(np.trapezoid(olr_table, nu))
@@ -164,20 +167,17 @@ def main():
     span = float(nu[-1] - nu[0])
     fS = lambda v: jnp.full(jnp.shape(v), S0 / span)
 
-    def fluxes_of(absorbers):
-        A = unify_absorbers(absorbers)
+    def fluxes_core(s, A):
         S_nu = fS(A.nu)
         a_nu = jnp.full_like(A.nu, 0.1)
+        fTs = lambda P: interp_linear(jnp.log(P), lnPe, Tj + 1e-12 * s)
+        tau = _column_tau(Pg, G, fTs, fmu, A, 3)
+        B = _planck_levels(Pg, A.nu, fTs)
+        M_up, M_down = monoflux(tau, B, A.nu, S_nu, a_nu, 0.841, 5)
+        return trapz(A.nu, M_up - M_down)
 
-        def f(s):
-            fTs = lambda P: interp_linear(jnp.log(P), lnPe, Tj + 1e-12 * s)
-            tau = _column_tau(Pg, G, fTs, fmu, A, 3)
-            B = _planck_levels(Pg, A.nu, fTs)
-            M_up, M_down = monoflux(tau, B, A.nu, S_nu, a_nu, 0.841, 5)
-            return trapz(A.nu, M_up - M_down)
-        return f
-
-    dt_flux_direct = timed_chain(fluxes_of((mg, cia)), x0, K=2)
+    dt_flux_direct = timed_chain(fluxes_core, x0, K=2,
+                                 extra=unify_absorbers((mg, cia)))
     rep["fluxes_direct_s"] = dt_flux_direct
     from clearsky_tpu.rt.fluxes import net_fluxes
     Fnet_direct = np.asarray(net_fluxes(np.asarray(Pe), G, fT, fmu, fS, 0.1, mg, cia))
@@ -191,7 +191,8 @@ def main():
     h2o_t = Gas.from_lines(h2o, 0.005, nu, dom)
     jax.block_until_ready(h2o_t.coeffs)
     rep["bake_s_both"] = time.time() - t_b
-    dt_flux_table = timed_chain(fluxes_of((co2_t, h2o_t, cia)), x0, K=2)
+    dt_flux_table = timed_chain(fluxes_core, x0, K=2,
+                                extra=unify_absorbers((co2_t, h2o_t, cia)))
     rep["fluxes_table_s"] = dt_flux_table
     Fnet_table = np.asarray(net_fluxes(np.asarray(Pe), G, fT, fmu, fS, 0.1, co2_t, h2o_t, cia))
     rep["fluxes_table_vs_direct_of_toa"] = float(
