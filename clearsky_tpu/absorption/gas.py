@@ -349,11 +349,17 @@ class DirectGas(AbstractGas):
     name: str = dataclasses.field(metadata=dict(static=True), default="")
     formula: str = dataclasses.field(metadata=dict(static=True), default="")
     mu: float = dataclasses.field(metadata=dict(static=True), default=float("nan"))
+    strategy: str = dataclasses.field(metadata=dict(static=True), default="auto")
 
     @classmethod
     def from_lines(
-        cls, lines, fC, nu, shape: str = "voigt", cut: float | None = None, block: int = 128
+        cls, lines, fC, nu, shape: str = "voigt", cut: float | None = None,
+        block: int = 128, strategy: str = "auto",
     ) -> "DirectGas":
+        """``strategy="coarse"`` opts the TPU kernel into the coarse-grid
+        far-field split on dense grids (falls back automatically where the
+        geometry rejects it) — see ops.linesum_pallas for the accuracy
+        contract; all other values are passed through unchanged."""
         cut = DEFAULT_CUT[shape] if cut is None else float(cut)
         nu = _check_nu(nu)
         plan = build_line_window_plan(nu, np.asarray(lines.nu), cut, block=block)
@@ -366,13 +372,15 @@ class DirectGas(AbstractGas):
             name=lines.name,
             formula=lines.formula,
             mu=lines.mean_molar_mass,
+            strategy=strategy,
         )
 
     def raw_sigma(self, T, P):
         T = jnp.asarray(T)
         P = jnp.asarray(P)
         C = jnp.asarray(self.fC(T, P))
-        return sigma_from_lines_auto(self.plan, self.lines, T, P, C * P, self.shape)
+        return sigma_from_lines_auto(self.plan, self.lines, T, P, C * P,
+                                     self.shape, strategy=self.strategy)
 
     def reconcentrate(self, fC) -> "DirectGas":
         """New DirectGas with different concentration — self-broadening IS
@@ -544,11 +552,12 @@ class MultiGas(AbstractGas):
     name: str = dataclasses.field(metadata=dict(static=True), default="")
     formula: str = dataclasses.field(metadata=dict(static=True), default="")
     mu: float = dataclasses.field(metadata=dict(static=True), default=float("nan"))
+    strategy: str = dataclasses.field(metadata=dict(static=True), default="auto")
 
     @classmethod
     def from_lines(
         cls, entries, nu, shape: str = "voigt", cut: float | None = None,
-        block: int = 128,
+        block: int = 128, strategy: str = "auto",
     ) -> "MultiGas":
         """Build from [(SpectralLines, concentration-or-fC), ...]."""
         from ..spectra.merge import merge_lines, merge_catalogs

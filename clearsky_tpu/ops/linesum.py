@@ -409,7 +409,8 @@ def _state_group(n_lines: int, slab: int, shape: str = "voigt") -> int:
     return int(np.clip(max_states, GROUP, GROUP_MAX))
 
 
-def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt", conc=None):
+def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt",
+                          conc=None, strategy: str = "auto"):
     """Backend-dispatched line sum: the Pallas TPU kernel on TPU (4.8x the XLA
     path on-chip), the portable jnp path elsewhere.
 
@@ -417,6 +418,11 @@ def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt", conc=None
     takes flat 1-D state batches, so leading dimensions are flattened and
     restored around it. Differentiable: the kernel carries a custom JVP whose
     tangent routes through the jnp oracle (see ``linesum_pallas``).
+
+    ``strategy`` selects the TPU kernel's execution strategy (the off-TPU
+    oracle path is exact and ignores it) — notably ``"coarse"`` opts into
+    the coarse-grid far-field split on dense grids (see
+    ``linesum_pallas._pallas_sigma_coarse`` for the accuracy contract).
     """
     import jax
 
@@ -428,12 +434,14 @@ def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt", conc=None
     n = Tf.shape[0]
     grp = _state_group(lines.nu.shape[0], plan.slab, shape)
     if n <= grp:
-        sig = sigma_from_lines_pallas_jvp(plan, lines, Tf, Pf, Ppf, shape, concf)
+        sig = sigma_from_lines_pallas_jvp(plan, lines, Tf, Pf, Ppf, shape,
+                                          concf, strategy)
     else:
         parts = [
             sigma_from_lines_pallas_jvp(
                 plan, lines, Tf[a : a + grp], Pf[a : a + grp],
                 Ppf[a : a + grp], shape, _conc_group(concf, a, a + grp),
+                strategy,
             )
             for a in range(0, n, grp)
         ]

@@ -210,9 +210,19 @@ def _kernel_resident(shape, cut, n_states, nu_b_ref, nu_b_lo_ref, nul_ref,
     out_ref[:, 0, 0, :] = acc
 
 
+def _smoothstep_d2(D, A1, A2):
+    """C^2 smootherstep in squared distance: 0 below A1, 1 above A2.
+
+    The switching weight of the coarse-far split (see `_pallas_sigma_coarse`):
+    evaluated on the shared D = dnu^2 tile, so the ~8 vreg-ops are paid once
+    per line group, not per state."""
+    w = jnp.clip((D - A1) * (1.0 / (A2 - A1)), 0.0, 1.0)
+    return w * w * w * (10.0 + w * (-15.0 + 6.0 * w))
+
+
 def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
-                             pret, nu_b_ref, nu_b_lo_ref, Pk_ref, scal_ref,
-                             dnear_ref, T_ref, out_ref, Pt_ref=None):
+                             pret, wmode, nu_b_ref, nu_b_lo_ref, Pk_ref,
+                             scal_ref, dnear_ref, T_ref, out_ref, Pt_ref=None):
     """Sublane-grouped resident variant: points on LANES, line groups on
     SUBLANES.
 
@@ -284,8 +294,12 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
     acc0 = tuple(jnp.zeros((LG, B), jnp.float32) for _ in range(n_states))
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (LG, 1), 0)
 
-    def tile_near(rows, dnu, mask, acc):
-        """Full-accuracy tile: w4 Faddeeva (ia pack) or `_profile_tile`."""
+    def tile_near(rows, dnu, mask, acc, wgt=None):
+        """Full-accuracy tile: w4 Faddeeva (ia pack) or `_profile_tile`.
+
+        ``wgt`` (coarse-far fine pass) weights the w4 zone by 1-W too, so the
+        partition stays exact even if the traced d_near reaches into the
+        switch ramp (no double count against the coarse field)."""
         new = []
         for st in range(n_states):             # static unroll
             b0 = 2 + stride * st
@@ -300,14 +314,17 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
                 al = rows[:, b0 + 1 : b0 + 2]
                 ga = rows[:, b0 + 2 : b0 + 3]
                 f = _profile_tile(shape, dnu, S, al, ga, T_ref[st, 0])
+            if wgt is not None:
+                f = f * wgt
             new.append(acc[st] + jnp.where(mask, f, 0.0))
         return tuple(new)
 
-    def tile_far(rows, dnu, mask, acc):
+    def tile_far(rows, dnu, mask, acc, wgt=None):
         """Far-wing tile: Humlicek region 1 (see `_profile_far` for validity).
 
         Masked-out lanes may produce inf/NaN (the 1e30 pad sentinel squares
         past f32 max) — the select discards them before accumulation.
+        ``wgt`` (coarse-far split) is a shared [LG, B] switching weight.
         """
         new = []
         if voigt_far:
@@ -321,6 +338,8 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
                 m = D * A
                 br = c1 - m
                 f = (k2 * (c1 + m)) / (br * br + c2 * D)
+                if wgt is not None:
+                    f = f * wgt
                 new.append(acc[st] + jnp.where(mask, f, 0.0))
         else:  # phco2 family: chi is dnu-dependent, explicit region-1 form
             for st in range(n_states):
@@ -335,17 +354,21 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
                 br = 0.5 + t2r
                 d2 = br * br + t2i * t2i
                 wr = 0.5641896 * (y * br - x * t2i) / d2
-                new.append(acc[st] + jnp.where(mask, Sia * wr, 0.0))
+                f = Sia * wr
+                if wgt is not None:
+                    f = f * wgt
+                new.append(acc[st] + jnp.where(mask, f, 0.0))
         return tuple(new)
 
-    def group_step(rows, local, end, mask_fn, tile_fn, acc):
+    def group_step(rows, local, end, mask_fn, tile_fn, acc, wfn=None):
         nul = rows[:, 0:1]
         nul_lo = rows[:, 1:2]
         dnu = (nu_b - nul) + (nu_b_lo - nul_lo)   # [LG, B] two-float
         mask = (local < end) & mask_fn(jnp.abs(dnu))
-        return tile_fn(rows, dnu, mask, acc)
+        wgt = None if wfn is None else wfn(dnu * dnu)  # shared across states
+        return tile_fn(rows, dnu, mask, acc, wgt)
 
-    def sweep_pret(start, cnt, tile_fn, mask_fn, acc):
+    def sweep_pret(start, cnt, tile_fn, mask_fn, acc, wfn=None):
         # sublane-dim dynamic slices need 8-multiple offsets; LG is a
         # multiple of 8 and start aligns down to LG, so every group offset
         # is provably aligned. Lead-in lines from the alignment are outside
@@ -361,12 +384,13 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
         def group_body(g, acc):
             o = pl.multiple_of(start_al + g * LG, LG)
             rows = Pk_ref[pl.ds(o, LG), :]            # [LG, n_params]
-            return group_step(rows, g * LG + iota_g, end, mask_fn, tile_fn, acc)
+            return group_step(rows, g * LG + iota_g, end, mask_fn, tile_fn,
+                              acc, wfn)
 
         ngroups = (end + LG - 1) // LG
         return jax.lax.fori_loop(0, ngroups, group_body, acc)
 
-    def sweep_chunked(start, cnt, tile_fn, mask_fn, acc):
+    def sweep_chunked(start, cnt, tile_fn, mask_fn, acc, wfn=None):
         start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
         off = start - start_al              # < CHUNK
         end = jnp.where(cnt == 0, 0, off + cnt)
@@ -384,7 +408,7 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
             def group_body(g, acc):
                 rows = Pt_ref[pl.ds(pl.multiple_of(g * LG, LG), LG), :]
                 local = c * CHUNK + g * LG + iota_g
-                return group_step(rows, local, end, mask_fn, tile_fn, acc)
+                return group_step(rows, local, end, mask_fn, tile_fn, acc, wfn)
 
             return jax.lax.fori_loop(g_lo, g_hi, group_body, acc)
 
@@ -395,7 +419,42 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
 
     start = scal_ref[b, 0]
     cnt = scal_ref[b, 1]
-    if split:
+    if wmode is not None and wmode[0] == "fine":
+        # coarse-far split, fine pass (see `_pallas_sigma_coarse`): the mid
+        # zone carries weight 1-W (support |dnu| <= 2*d_far = cutF), the near
+        # zone the full w4, and two thin annulus slabs at the outer cut carry
+        # 1-Wout = smoothstep(D; R1, R2) so the hard truncation at `cut`
+        # stays EXACT while the coarse field only holds the smooth part.
+        _, D1, D2, R1, R2, cutF = wmode
+        d_near = dnear_ref[0, 0]
+        one_minus_w = lambda D: 1.0 - _smoothstep_d2(D, D1, D2)
+        acc = sweep(
+            start, cnt, tile_far,
+            lambda adnu: (adnu <= cutF) & (adnu > d_near), acc0,
+            wfn=one_minus_w,
+        )
+        acc = sweep(
+            scal_ref[b, 2], scal_ref[b, 3], tile_near,
+            lambda adnu: adnu <= d_near, acc, wfn=one_minus_w,
+        )
+        ann_mask = lambda adnu: (adnu <= cut) & (adnu * adnu > R1)
+        ann_w = lambda D: _smoothstep_d2(D, R1, R2)
+        acc = sweep(scal_ref[b, 4], scal_ref[b, 5], tile_far, ann_mask, acc,
+                    wfn=ann_w)
+        acc = sweep(scal_ref[b, 6], scal_ref[b, 7], tile_far, ann_mask, acc,
+                    wfn=ann_w)
+    elif wmode is not None and wmode[0] == "coarse":
+        # coarse-far split, coarse pass: one region-1 sweep of the whole
+        # window weighted by W*Wout (smooth in nu, so the result can be
+        # interpolated back to the fine grid)
+        _, D1, D2, R1, R2, d_lo = wmode
+        acc = sweep(
+            start, cnt, tile_far,
+            lambda adnu: (adnu <= cut) & (adnu > d_lo), acc0,
+            wfn=lambda D: _smoothstep_d2(D, D1, D2)
+            * (1.0 - _smoothstep_d2(D, R1, R2)),
+        )
+    elif split:
         d_near = dnear_ref[0, 0]
         acc = sweep(
             start, cnt, tile_far,
@@ -416,6 +475,101 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
 # segments (see _segment_cap / sigma_from_lines_pallas) and only the
 # device-plan (sharded) path falls back to XLA-gathered slabs.
 _RESIDENT_VMEM_LIMIT = 6 * 2**20
+
+
+def _grouped_pack(shape, S, alpha, gamma, nu_l, nu_l_lo, n_lines_pad,
+                  rows_per_state, pret):
+    """Assemble the grouped kernel's resident parameter pack.
+
+    Layout contract of `_kernel_resident_grouped`: rows 0-1 are the two-float
+    line positions; per state, `rows_per_state` precomputed profile scalars
+    follow (see the kernel docstring). Returns (Pk, n_params) with Pk
+    pre-transposed to [n_lines_pad, n_params] when ``pret``.
+    """
+    n_states, n_lines = S.shape
+    pad_n = n_lines_pad - n_lines
+
+    def row(vals, pad):
+        return jnp.concatenate(
+            [vals, jnp.full((n_states, pad_n), pad, jnp.float32)], axis=1
+        )
+
+    nul_full = jnp.concatenate([nu_l, jnp.full((pad_n,), 1e30, jnp.float32)])[None, :]
+    nul_lo_full = jnp.concatenate([nu_l_lo, jnp.zeros((pad_n,), jnp.float32)])[None, :]
+    if shape in _SPLIT_SHAPES:
+        # precompute per-(state, line) profile scalars in XLA: the kernel
+        # loop is vector-ALU bound, and even [lgroup, 1] arithmetic costs
+        # full vreg ops there (see _kernel_resident_grouped docstring).
+        # The *_ref reference convention (alpha -> alpha/sqrt(ln2)) folds
+        # into ia here, so the in-kernel profiles are convention-free.
+        a_eff = alpha * (1.0 / _SQRT_LN2) if shape.endswith("_ref") else alpha
+        ia = 1.0 / a_eff
+        Sia = S * ia * (1.0 / _SQRT_PI)
+        y0 = gamma * ia
+        # pads: Sia/k2 = 0 kill padded-line contributions; the rest are
+        # benign finite values (the 1e30 position sentinel masks them)
+        packed = [row(Sia, 0.0), row(ia, 1.0), row(y0, 1.0)]
+        if rows_per_state == 7:
+            A = ia * ia
+            y2 = y0 * y0
+            packed += [
+                row(A, 1.0),                        # c0: ia^2
+                row(0.5 + y2, 1.5),                 # c1
+                row(4.0 * y2 * A, 4.0),             # c2
+                row(S * gamma * A * (1.0 / np.pi), 0.0),  # k2
+            ]
+    else:
+        packed = [row(S, 0.0), row(alpha, 1.0), row(gamma, 1.0)]
+    rows_l = [nul_full, nul_lo_full]
+    for st in range(n_states):
+        rows_l += [p[st : st + 1] for p in packed]
+    Pk = jnp.concatenate(rows_l, axis=0)  # [n_params, n_lines_pad]
+    n_params = Pk.shape[0]
+    if pret:
+        # pre-transpose in XLA: [n_lines_pad, n_params], lines on
+        # sublanes — group slices are plain 8-aligned sublane reads
+        Pk = Pk.T
+    return Pk, n_params
+
+
+def _grouped_call(kern, nu_blocks, nu_blocks_lo, Pk, scal, dnear_op, T2,
+                  n_states, B, n_blocks, pret, n_params, interpret):
+    """SEG-segmented pallas_call driver for the grouped kernel.
+
+    SMEM rows cost ~512 B each regardless of width (1 MB budget), so the
+    per-block scalar arrays cap a single call at ~SEG blocks; larger grids
+    run as several segment calls over the same resident catalog.
+    """
+    SEG = 512
+    outs = []
+    for a in range(0, n_blocks, SEG):
+        b = min(a + SEG, n_blocks)
+        seg = b - a
+        out = pl.pallas_call(
+            kern,
+            grid=(seg,),
+            in_specs=[
+                pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # Pk/PkT, resident
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # packed per-block scalars
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # d_near
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # T
+            ],
+            out_specs=pl.BlockSpec(
+                (n_states, 1, 1, B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_states, seg, 1, B), jnp.float32),
+            scratch_shapes=(
+                [] if pret else [pltpu.VMEM((CHUNK, n_params), jnp.float32)]
+            ),
+            interpret=interpret,
+        )(
+            nu_blocks[a:b], nu_blocks_lo[a:b], Pk,
+            scal[a:b], dnear_op, T2,
+        )
+        outs.append(out.reshape(n_states, seg * B))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _grouped_lane_cost(shape: str, strategy: str, n_states: int) -> int:
@@ -514,6 +668,236 @@ def _pallas_sigma_segmented(shape, interpret, plan, lines, T, P, Pp, conc,
     return out
 
 
+# coarse-far split constants: h = d_far/Q_COARSE coarse spacing, outer roll
+# width W_ROLL_CELLS*h. Calibrated on the CO2 fixture (scripts/
+# proto_coarse_far.py, f64): max rel sigma error 4.5e-5 (sigma >= 1e-3 peak),
+# 2.2e-4 (>= 1e-4 peak), 2.1e-2 (>= 1e-8 peak, deep micro-windows);
+# transmittance-level max |dTr| 1.5e-3 at tau_peak = 1e4, band-integrated
+# flux error <= 6e-7 of unity transmittance even at tau_peak = 1e8.
+Q_COARSE = 16
+W_ROLL_CELLS = 4
+
+
+def _coarse_far_params(plan: LineWindowPlan) -> tuple | None:
+    """Static (grid-only) applicability/sizing of the coarse-far split.
+
+    Runs at trace time inside the jitted wrapper, where line positions are
+    tracers — so sizing uses the plan's grid geometry only: with mean grid
+    spacing dbar and block span bs, the fine fraction of dense work is
+    ~(4*d_far + bs)/(2*cut + bs) and the coarse fraction ~Q_COARSE*dbar/d_far
+    (coarse point count over fine point count). The optimum
+    d_far = 2*sqrt(dbar*(2*cut+bs)/4*Q/4)... is taken analytically and
+    clamped to the three-zone constraints. Returns (d_far, h, n_cc) or None
+    when the split cannot win.
+    """
+    nu = np.asarray(plan.nu, np.float64)
+    if plan.n_nu < 2048:
+        return None
+    cut = float(plan.cut)
+    diffs = np.diff(nu)
+    dbar = float((nu[-1] - nu[0]) / max(plan.n_nu - 1, 1))
+    dmax = float(diffs.max())
+    bs = plan.block * dbar
+    # minimize fine + coarse work fractions over d_far:
+    # d/dd [4d/(2cut+bs) + Q*dbar/d] = 0
+    d_far = float(np.sqrt(Q_COARSE * dbar * (2.0 * cut + bs) / 4.0))
+    h = d_far / Q_COARSE
+    # uniform fine grids snap h to an exact multiple of the spacing, so the
+    # stencil interpolation is strided slices instead of device gathers
+    # (TPU minor-dim gathers would dominate the saved kernel time)
+    uniform = bool(np.all(np.abs(diffs - dbar) <= 1e-9 * max(abs(nu[-1]), 1.0)))
+    c_ratio = 0
+    if uniform:
+        c_ratio = int(h / dbar)
+        if c_ratio < 2:
+            return None
+        h = c_ratio * dbar
+    w_roll = W_ROLL_CELLS * h
+    if cut <= 2.0 * d_far + w_roll:       # three zones must be disjoint
+        return None
+    if h < 2.0 * dmax:                    # coarsening below 2x cannot pay
+        return None
+    fine_frac = (4.0 * d_far + bs) / (2.0 * cut + bs)
+    coarse_frac = dbar / h
+    ann_frac = 2.0 * w_roll / (2.0 * cut + bs)
+    if fine_frac + coarse_frac + ann_frac > 0.6:
+        return None
+    n_cc = int(np.ceil((nu[-1] - nu[0] + 8.0 * h) / h)) + 6
+    return d_far, h, n_cc, c_ratio
+
+
+def _pallas_sigma_coarse(shape, interpret, plan, lines, T, P, Pp, conc,
+                         lgroup, params, limit):
+    """Coarse-grid far-field line sum (Ewald-style smooth splitting).
+
+    Each line's truncated profile is split by a C^2 switch W(dnu^2) ramping
+    over [d_far, 2*d_far] and an outer roll Wout over [cut-w_roll, cut]:
+
+      sigma = [near w4 + mid (1-W) r1 + annulus (1-Wout) r1]  (fine grid)
+            + Interp[ W * Wout * r1 summed on the coarse grid ](nu_fine)
+
+    The bracketed fine part needs per-point evaluation only within 2*d_far
+    (plus the thin annulus that keeps the reference's HARD truncation at
+    ``cut`` exact); the far part is smooth by construction, evaluated on a
+    uniform grid with spacing h = d_far/16 and cubic-interpolated in
+    sqrt(sigma) space (compresses the far field's dynamic range; clamped
+    non-negative). Both passes run `_kernel_resident_grouped` over the SAME
+    resident parameter pack. Dense profile work drops to ~15-30% of the
+    one-pass kernel on dense grids (the structural inversion of the
+    reference's every-point-every-line sweep, ref line_shapes.jl:53-87).
+    Accuracy: see the calibration constants above (Q_COARSE).
+    """
+    d_far, h, n_cc, c_ratio = params
+    cut = float(plan.cut)
+    w_roll = W_ROLL_CELLS * h
+    D1, D2 = d_far * d_far, 4.0 * d_far * d_far
+    R1, R2 = (cut - w_roll) ** 2, cut * cut
+    B = plan.block
+
+    T = jnp.atleast_1d(jnp.asarray(T, jnp.float32))
+    n_states = T.shape[0]
+    n_lines = int(np.asarray(lines.nu.shape[0]))
+
+    # residency: both passes share one resident pack; the in-kernel dynamic
+    # slices overrun the catalog by at most one alignment chunk per sweep
+    voigt_split = shape in ("voigt", "voigt_ref")
+    rows_per_state = 7 if voigt_split else 3
+    pret = not voigt_split
+    n_lines_pad = -(-(n_lines + 2 * CHUNK) // 128) * 128
+    lane_cost = _grouped_lane_cost(shape, "grouped", n_states)
+    if n_lines_pad * lane_cost * 4 > limit:
+        return None   # catalog too large to reside; caller falls back
+
+    P = jnp.atleast_1d(jnp.asarray(P, jnp.float32))
+    Pp = jnp.atleast_1d(jnp.asarray(Pp, jnp.float32))
+    S, alpha, gamma = _line_params(lines, T, P, Pp, conc=conc)
+    S = S.astype(jnp.float32)
+    alpha = alpha.astype(jnp.float32)
+    gamma = gamma.astype(jnp.float32)
+    nu_l = jnp.asarray(lines.nu).astype(jnp.float32)
+    if jnp.asarray(lines.nu).dtype == jnp.float32:
+        nu_l_lo = jnp.asarray(lines.nu_lo, jnp.float32)
+    else:
+        nu_l_lo = (jnp.asarray(lines.nu) - nu_l.astype(jnp.float64)).astype(jnp.float32)
+
+    Pk, n_params = _grouped_pack(
+        shape, S, alpha, gamma, nu_l, nu_l_lo, n_lines_pad, rows_per_state,
+        pret,
+    )
+    T2 = T[:, None]
+
+    # grids are static (the plan is a static arg); line positions are traced,
+    # so every line-index window below is a traced searchsorted — the same
+    # pattern the standard path uses for its near sub-window
+    nu_f = np.asarray(plan.nu, np.float64)
+    fnb64 = np.asarray(plan.nu_blocks, np.float64)
+    nu_c0 = nu_f[0] - 2.0 * h
+    n_blocks_c = -(-n_cc // B)
+    pad_c = np.full(n_blocks_c * B - n_cc, nu_c0 + (n_cc - 1) * h)
+    cnb64 = np.concatenate([nu_c0 + np.arange(n_cc) * h, pad_c]).reshape(
+        n_blocks_c, B
+    )
+
+    def blocks_f32(nb64):
+        nb_hi = nb64.astype(np.float32)
+        nb_lo = (nb64 - nb_hi.astype(np.float64)).astype(np.float32)
+        return jnp.asarray(nb_hi)[:, None, :], jnp.asarray(nb_lo)[:, None, :]
+
+    def win(nb64, lo_off, hi_off):
+        s = jnp.searchsorted(
+            nu_l, jnp.asarray(nb64[:, 0] + lo_off, jnp.float32)
+        ).astype(jnp.int32)
+        e = jnp.searchsorted(
+            nu_l, jnp.asarray(nb64[:, -1] + hi_off, jnp.float32), side="right"
+        ).astype(jnp.int32)
+        return s, jnp.maximum(e - s, 0)
+
+    # --- fine pass: near w4 + mid (1-W) + exact outer annuli ---------------
+    fnb, fnb_lo = blocks_f32(fnb64)
+    amax = jnp.max(jnp.where(nu_l < 1e29, alpha, 0.0))
+    if shape.endswith("_ref"):
+        amax = amax * (1.0 / _SQRT_LN2)
+    d_near = jnp.minimum(15.0 * amax, 2.0 * d_far).astype(jnp.float32)
+    startF, cntF = win(fnb64, -2.0 * d_far - 0.01, 2.0 * d_far + 0.01)
+    wend = startF + cntF
+    s2 = jnp.searchsorted(
+        nu_l, jnp.asarray(fnb64[:, 0], jnp.float32) - d_near - 0.01
+    ).astype(jnp.int32)
+    e2 = jnp.searchsorted(
+        nu_l, jnp.asarray(fnb64[:, -1], jnp.float32) + d_near + 0.01,
+        side="right",
+    ).astype(jnp.int32)
+    start2 = jnp.clip(s2, startF, wend)
+    cnt2 = jnp.clip(e2, start2, wend) - start2
+    # annulus slabs: lines whose [cut-w_roll, cut] shell reaches the block
+    sL, cL = win(fnb64, -cut - 0.01, -cut + w_roll + 0.01)
+    sR, cR = win(fnb64, cut - w_roll - 0.01, cut + 0.01)
+    scalF = jnp.stack(
+        [startF, cntF, start2, cnt2, sL, cL, sR, cR], axis=1
+    )
+    dnear_op = d_near.reshape(1, 1)
+    kernF = partial(
+        _kernel_resident_grouped, shape, cut, n_states, n_params,
+        True, lgroup, pret, ("fine", D1, D2, R1, R2, 2.0 * d_far),
+    )
+    fine = _grouped_call(
+        kernF, fnb, fnb_lo, Pk, scalF, dnear_op, T2,
+        n_states, B, fnb64.shape[0], pret, n_params, interpret,
+    )[:, : plan.n_nu]
+
+    # --- coarse pass: W * Wout weighted region-1 far field -----------------
+    cnb, cnb_lo = blocks_f32(cnb64)
+    startC, cntC = win(cnb64, -cut - 0.01, cut + 0.01)
+    scalC = jnp.stack(
+        [startC, cntC, jnp.zeros_like(startC), jnp.zeros_like(startC)], axis=1
+    )
+    kernC = partial(
+        _kernel_resident_grouped, shape, cut, n_states, n_params,
+        True, lgroup, pret, ("coarse", D1, D2, R1, R2, d_far),
+    )
+    far_c = _grouped_call(
+        kernC, cnb, cnb_lo, Pk, scalC, dnear_op, T2,
+        n_states, B, n_blocks_c, pret, n_params, interpret,
+    )[:, :n_cc]
+
+    # --- cubic interpolation in sqrt space, host-precomputed stencil -------
+    def cr_weights(t):
+        return np.stack(
+            [
+                -0.5 * t**3 + t**2 - 0.5 * t,
+                1.5 * t**3 - 2.5 * t**2 + 1.0,
+                -1.5 * t**3 + 2.0 * t**2 + 0.5 * t,
+                0.5 * t**3 - 0.5 * t**2,
+            ]
+        ).astype(np.float32)
+
+    G = jnp.sqrt(jnp.maximum(far_c, 0.0))
+    if c_ratio >= 2:
+        # uniform fine grid with h = c_ratio * spacing and nu_c0 on-grid:
+        # fine index i = m*c + r has j = m + 2 and t = r/c, so the stencil is
+        # four STRIDED SLICES of the coarse field + one [4, c] weight table —
+        # no device gathers (TPU minor-dim gathers would eat the saved time)
+        c = c_ratio
+        n_m = -(-plan.n_nu // c)
+        wk_r = cr_weights(np.arange(c, dtype=np.float64) / c)   # [4, c]
+        acc = jnp.zeros((n_states, n_m, c), jnp.float32)
+        for k in range(4):
+            Gk = jax.lax.slice_in_dim(G, 1 + k, 1 + k + n_m, axis=1)
+            acc = acc + Gk[:, :, None] * jnp.asarray(wk_r[k])[None, None, :]
+        far = acc.reshape(n_states, n_m * c)[:, : plan.n_nu]
+    else:
+        u = (nu_f - nu_c0) / h
+        j = np.clip(np.floor(u).astype(np.int64), 1, n_cc - 3)
+        wk = cr_weights((u - j).astype(np.float64))
+        far = jnp.zeros((n_states, plan.n_nu), jnp.float32)
+        for k in range(4):
+            far = far + jnp.asarray(wk[k]) * jnp.take(
+                G, jnp.asarray(j + (k - 1), jnp.int32), axis=1
+            )
+    far = jnp.square(jnp.maximum(far, 0.0))
+    return fine + far
+
+
 def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
                        nu_blocks_hi, nu_blocks_lo, start, count,
                        lines, T, P, Pp, conc, strategy="auto", lgroup=8,
@@ -572,48 +956,10 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
         strategy in ("auto", "grouped", "nosplit")
         and resident_bytes <= limit
     ):
-        pad_n = n_lines_pad - n_lines
-
-        def row(vals, pad):
-            return jnp.concatenate(
-                [vals, jnp.full((n_states, pad_n), pad, jnp.float32)], axis=1
-            )
-
-        nul_full = jnp.concatenate([nu_l, jnp.full((pad_n,), 1e30, jnp.float32)])[None, :]
-        nul_lo_full = jnp.concatenate([nu_l_lo, jnp.zeros((pad_n,), jnp.float32)])[None, :]
-        if shape in _SPLIT_SHAPES:
-            # precompute per-(state, line) profile scalars in XLA: the kernel
-            # loop is vector-ALU bound, and even [lgroup, 1] arithmetic costs
-            # full vreg ops there (see _kernel_resident_grouped docstring).
-            # The *_ref reference convention (alpha -> alpha/sqrt(ln2)) folds
-            # into ia here, so the in-kernel profiles are convention-free.
-            a_eff = alpha * (1.0 / _SQRT_LN2) if shape.endswith("_ref") else alpha
-            ia = 1.0 / a_eff
-            Sia = S * ia * (1.0 / _SQRT_PI)
-            y0 = gamma * ia
-            # pads: Sia/k2 = 0 kill padded-line contributions; the rest are
-            # benign finite values (the 1e30 position sentinel masks them)
-            packed = [row(Sia, 0.0), row(ia, 1.0), row(y0, 1.0)]
-            if rows_per_state == 7:
-                A = ia * ia
-                y2 = y0 * y0
-                packed += [
-                    row(A, 1.0),                        # c0: ia^2
-                    row(0.5 + y2, 1.5),                 # c1
-                    row(4.0 * y2 * A, 4.0),             # c2
-                    row(S * gamma * A * (1.0 / np.pi), 0.0),  # k2
-                ]
-        else:
-            packed = [row(S, 0.0), row(alpha, 1.0), row(gamma, 1.0)]
-        rows_l = [nul_full, nul_lo_full]
-        for st in range(n_states):
-            rows_l += [p[st : st + 1] for p in packed]
-        Pk = jnp.concatenate(rows_l, axis=0)  # [n_params, n_lines_pad]
-        n_params = Pk.shape[0]
-        if pret:
-            # pre-transpose in XLA: [n_lines_pad, n_params], lines on
-            # sublanes — group slices are plain 8-aligned sublane reads
-            Pk = Pk.T
+        Pk, n_params = _grouped_pack(
+            shape, S, alpha, gamma, nu_l, nu_l_lo, n_lines_pad,
+            rows_per_state, pret,
+        )
 
         # near/far Humlicek split (see _kernel_resident_grouped/_profile_far):
         # d_near = 15*max(alpha) bounds the region where the full w4 is
@@ -653,38 +999,12 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
             raise ValueError(f"lgroup must divide {CHUNK} and be a multiple of 8, got {lgroup}")
         kern = partial(
             _kernel_resident_grouped, shape, float(cut), n_states, n_params,
-            use_split, lgroup, pret,
+            use_split, lgroup, pret, None,
         )
-        SEG = 512
-        outs = []
-        for a in range(0, n_blocks, SEG):
-            b = min(a + SEG, n_blocks)
-            seg = b - a
-            out = pl.pallas_call(
-                kern,
-                grid=(seg,),
-                in_specs=[
-                    pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # Pk/PkT, resident
-                    pl.BlockSpec(memory_space=pltpu.SMEM),  # packed per-block scalars
-                    pl.BlockSpec(memory_space=pltpu.SMEM),  # d_near
-                    pl.BlockSpec(memory_space=pltpu.SMEM),  # T
-                ],
-                out_specs=pl.BlockSpec(
-                    (n_states, 1, 1, B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-                ),
-                out_shape=jax.ShapeDtypeStruct((n_states, seg, 1, B), jnp.float32),
-                scratch_shapes=(
-                    [] if pret else [pltpu.VMEM((CHUNK, n_params), jnp.float32)]
-                ),
-                interpret=interpret,
-            )(
-                nu_blocks[a:b], nu_blocks_lo[a:b], Pk,
-                scal[a:b], dnear_op, T2,
-            )
-            outs.append(out.reshape(n_states, seg * B))
-        full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        full = _grouped_call(
+            kern, nu_blocks, nu_blocks_lo, Pk, scal, dnear_op, T2,
+            n_states, B, n_blocks, pret, n_params, interpret,
+        )
         return full[:, :n_nu]
 
     if (
@@ -820,6 +1140,21 @@ def sigma_from_lines_pallas(
     budget (testing).
     """
     limit = _RESIDENT_VMEM_LIMIT if resident_limit is None else int(resident_limit)
+    if strategy == "coarse":
+        # coarse-grid far field (Ewald-style smooth split) — wins on dense
+        # grids where most in-window pairs sit far from their line; falls
+        # back to the standard grouped kernel when the geometry or VMEM
+        # budget says no (see _coarse_far_params / _pallas_sigma_coarse)
+        if shape in _SPLIT_SHAPES:
+            params = _coarse_far_params(plan)
+            if params is not None:
+                out = _pallas_sigma_coarse(
+                    shape, interpret, plan, lines, T, P, Pp, conc, lgroup,
+                    params, limit,
+                )
+                if out is not None:
+                    return out
+        strategy = "auto"
     if strategy in ("auto", "grouped", "nosplit"):
         n_states = jnp.atleast_1d(jnp.asarray(T)).shape[0]
         n_lines = lines.nu.shape[0]
@@ -886,14 +1221,16 @@ def sigma_from_lines_pallas_device(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(0, 1))
-def _pallas_jvp_core(plan, shape, lines, T, P, Pp, conc):
-    return sigma_from_lines_pallas(plan, lines, T, P, Pp, shape, conc=conc)
+@partial(jax.custom_jvp, nondiff_argnums=(0, 1, 2))
+def _pallas_jvp_core(plan, shape, strategy, lines, T, P, Pp, conc):
+    return sigma_from_lines_pallas(
+        plan, lines, T, P, Pp, shape, conc=conc, strategy=strategy
+    )
 
 
 @_pallas_jvp_core.defjvp
-def _pallas_jvp_rule(plan, shape, primals, tangents):
-    out = _pallas_jvp_core(plan, shape, *primals)
+def _pallas_jvp_rule(plan, shape, strategy, primals, tangents):
+    out = _pallas_jvp_core(plan, shape, strategy, *primals)
     _, dout = jax.jvp(
         lambda lines, T, P, Pp, conc: sigma_from_lines(
             plan, lines, T, P, Pp, shape, conc=conc
@@ -904,9 +1241,10 @@ def _pallas_jvp_rule(plan, shape, primals, tangents):
     return out, dout
 
 
-def sigma_from_lines_pallas_jvp(plan, lines, T, P, Pp, shape="voigt", conc=None):
+def sigma_from_lines_pallas_jvp(plan, lines, T, P, Pp, shape="voigt",
+                                conc=None, strategy="auto"):
     """Pallas kernel primal + oracle-path JVP (differentiable TPU line sum)."""
-    return _pallas_jvp_core(plan, shape, lines, T, P, Pp, conc)
+    return _pallas_jvp_core(plan, shape, strategy, lines, T, P, Pp, conc)
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(0,))

@@ -203,3 +203,56 @@ def test_lane_strategy_matches_oracle(co2):
     m = np.abs(ref) > 1e-35
     np.testing.assert_allclose(out[m], ref[m], rtol=2e-3, atol=1e-32)
     assert np.all(np.abs(out[~m]) < 1e-30)
+
+
+@pytest.fixture(scope="module")
+def co2_full(fixtures_dir):
+    return SpectralLines.from_par(f"{fixtures_dir}/CO2.par")
+
+
+@pytest.mark.parametrize("shape,cut,bar", [("voigt", 25.0, 2e-3),
+                                           ("phco2", 500.0, 2e-3)])
+def test_coarse_far_strategy_matches_oracle(co2_full, shape, cut, bar):
+    """The coarse-grid far-field split (strategy='coarse') on a dense
+    sub-band grid: dense profile work drops to ~15% of the one-pass kernel
+    (fine zone + coarse far field + thin exact annulus at the hard cut), and
+    the result must stay inside the documented accuracy class — measured
+    6.6e-4 (voigt) / 5.8e-4 (phco2) rel for sigma >= 1e-4 peak, of-peak
+    <= 2.6e-6 (see linesum_pallas.Q_COARSE calibration notes)."""
+    from clearsky_tpu.ops.linesum_pallas import _coarse_far_params
+
+    nu = np.linspace(2300.0, 2350.0, 16384)
+    plan = build_line_window_plan(nu, np.asarray(co2_full.nu), cut, block=128)
+    assert _coarse_far_params(plan) is not None  # the split actually engages
+    T = jnp.asarray([200.0, 300.0])
+    P = jnp.asarray([1e3, 1e5])
+    ref = np.asarray(sigma_from_lines(plan, co2_full, T, P, 0.5 * P, shape))
+    out = np.asarray(sigma_from_lines_pallas(
+        plan, co2_full, T, P, 0.5 * P, shape, interpret=True,
+        strategy="coarse"))
+    pk = np.abs(ref).max(axis=1, keepdims=True)
+    m = np.abs(ref) > 1e-4 * pk
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300)
+    assert rel[m].max() < bar, rel[m].max()
+    assert (np.abs(out - ref) / pk).max() < 1e-5
+    # deep micro-windows: interpolating the far field's dynamic range costs
+    # accuracy where sigma is orders below band-relevant levels (documented)
+    m6 = np.abs(ref) > 1e-6 * pk
+    assert rel[m6].max() < 5e-2, rel[m6].max()
+
+
+def test_coarse_strategy_falls_back_when_rejected(co2):
+    """strategy='coarse' on a geometry the sizing rejects (coarse sparse
+    grid) must produce EXACTLY the default grouped kernel's output."""
+    from clearsky_tpu.ops.linesum_pallas import _coarse_far_params
+
+    nu = np.linspace(610.0, 780.0, 512)
+    plan = build_line_window_plan(nu, np.asarray(co2.nu), 25.0, block=128)
+    assert _coarse_far_params(plan) is None
+    T = jnp.asarray([220.0, 300.0])
+    P = jnp.asarray([5e2, 8e4])
+    a = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, 0.5 * P, "voigt", interpret=True))
+    b = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, 0.5 * P, "voigt", interpret=True, strategy="coarse"))
+    np.testing.assert_array_equal(a, b)
