@@ -339,6 +339,15 @@ def main():
         rec["segmented_evals_per_s"] = None
         rec["segmented_error"] = repr(e)[:120]
     try:
+        # physically-resolved dense-band grid (7.6e-4 cm^-1 spacing) through
+        # the coarse-grid far-field strategy — the round-3 kernel addition
+        nu_dense = np.linspace(2200.0, 2400.0, 262144)
+        rec["voigt_dense_coarse_evals_per_s"] = bench_tpu(
+            lines, nu_dense, strategy="coarse")[0]
+    except Exception as e:  # pragma: no cover
+        rec["voigt_dense_coarse_evals_per_s"] = None
+        rec["dense_error"] = repr(e)[:120]
+    try:
         rec["rce_step_ms"] = bench_rce_step()
     except Exception as e:  # pragma: no cover
         rec["rce_step_ms"] = None

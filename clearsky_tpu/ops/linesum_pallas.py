@@ -790,7 +790,21 @@ def _pallas_sigma_coarse(shape, interpret, plan, lines, T, P, Pp, conc,
     # so every line-index window below is a traced searchsorted — the same
     # pattern the standard path uses for its near sub-window
     nu_f = np.asarray(plan.nu, np.float64)
-    fnb64 = np.asarray(plan.nu_blocks, np.float64)
+    # the fine pass re-blocks the grid WIDER than the caller's plan: its
+    # windows are tiny (~4*d_far), so per-block fixed cost (output write,
+    # sweep prologues, pipeline bubbles) dominates at B=128 — measured
+    # 2.5 us/block regardless of states; wider lanes amortize it for a
+    # ~(Bf-B)*spacing window widening that the small cut keeps cheap.
+    # phco2's chi(dnu, T) factor adds per-state [LG, Bf] temporaries on top
+    # of the accumulators, and wider lanes spill registers (measured: 128
+    # 7.3 ms, 256 10.1, 512 14.4 on the bench phco2 config); the lean voigt
+    # far tile tolerates — and wants — 512 (7.9 -> 6.0 ms on dense 2^18).
+    Bf = B
+    if plan.n_nu >= 2048 and shape in ("voigt", "voigt_ref"):
+        Bf = 512
+    n_blocks_f = -(-plan.n_nu // Bf)
+    pad_f = np.full(n_blocks_f * Bf - plan.n_nu, nu_f[-1])
+    fnb64 = np.concatenate([nu_f, pad_f]).reshape(n_blocks_f, Bf)
     nu_c0 = nu_f[0] - 2.0 * h
     n_blocks_c = -(-n_cc // B)
     pad_c = np.full(n_blocks_c * B - n_cc, nu_c0 + (n_cc - 1) * h)
@@ -842,7 +856,7 @@ def _pallas_sigma_coarse(shape, interpret, plan, lines, T, P, Pp, conc,
     )
     fine = _grouped_call(
         kernF, fnb, fnb_lo, Pk, scalF, dnear_op, T2,
-        n_states, B, fnb64.shape[0], pret, n_params, interpret,
+        n_states, Bf, n_blocks_f, pret, n_params, interpret,
     )[:, : plan.n_nu]
 
     # --- coarse pass: W * Wout weighted region-1 far field -----------------
@@ -1140,6 +1154,14 @@ def sigma_from_lines_pallas(
     budget (testing).
     """
     limit = _RESIDENT_VMEM_LIMIT if resident_limit is None else int(resident_limit)
+    if strategy == "auto" and shape.startswith("phco2"):
+        # phco2 auto-routes through the coarse-far split where the geometry
+        # accepts: the sub-Lorentzian chi factor suppresses the far field
+        # where the split operates, so the accuracy cost is negligible
+        # (measured vs the f64 oracle at the cut=500 bench geometry:
+        # 1.9e-6 rel at sigma >= 1e-4 peak, 1.3e-3 at >= 1e-8 peak, vs the
+        # default kernel's 7e-7) for a 2.1x wall-time win (BASELINE.md).
+        strategy = "coarse"
     if strategy == "coarse":
         # coarse-grid far field (Ewald-style smooth split) — wins on dense
         # grids where most in-window pairs sit far from their line; falls

@@ -256,3 +256,27 @@ def test_coarse_strategy_falls_back_when_rejected(co2):
     b = np.asarray(sigma_from_lines_pallas(
         plan, co2, T, P, 0.5 * P, "voigt", interpret=True, strategy="coarse"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_coarse_far_nonuniform_grid(co2_full):
+    """A non-uniform dense grid routes through the gather interpolation path
+    (c_ratio=0) and must meet the same accuracy class."""
+    from clearsky_tpu.ops.linesum_pallas import _coarse_far_params
+
+    rng = np.random.default_rng(3)
+    nu = np.linspace(2300.0, 2350.0, 16384)
+    nu = nu + rng.uniform(-0.2, 0.2, nu.shape) * (nu[1] - nu[0])
+    nu.sort()
+    plan = build_line_window_plan(nu, np.asarray(co2_full.nu), 25.0, block=128)
+    params = _coarse_far_params(plan)
+    assert params is not None and params[3] == 0  # gather path engaged
+    T = jnp.asarray([200.0, 300.0])
+    P = jnp.asarray([1e3, 1e5])
+    ref = np.asarray(sigma_from_lines(plan, co2_full, T, P, 0.5 * P, "voigt"))
+    out = np.asarray(sigma_from_lines_pallas(
+        plan, co2_full, T, P, 0.5 * P, "voigt", interpret=True,
+        strategy="coarse"))
+    pk = np.abs(ref).max(axis=1, keepdims=True)
+    m = np.abs(ref) > 1e-4 * pk
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300)
+    assert rel[m].max() < 2e-3, rel[m].max()
