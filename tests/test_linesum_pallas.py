@@ -239,6 +239,13 @@ def test_coarse_far_strategy_matches_oracle(co2_full, shape, cut, bar):
     # accuracy where sigma is orders below band-relevant levels (documented)
     m6 = np.abs(ref) > 1e-6 * pk
     assert rel[m6].max() < 5e-2, rel[m6].max()
+    # flux-level gate: transmittance through a column with peak tau 1e4
+    # (the regime where sigma errors matter most) — pointwise and
+    # band-integrated (the f64 calibration measured 1.5e-3 / 6e-7)
+    N_col = 1e4 / pk
+    dtr = np.exp(-N_col * out) - np.exp(-N_col * ref)
+    assert np.abs(dtr).max() < 5e-3, np.abs(dtr).max()
+    assert np.abs(dtr.mean(axis=1)).max() < 1e-5
 
 
 def test_coarse_strategy_falls_back_when_rejected(co2):
