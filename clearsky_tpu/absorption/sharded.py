@@ -62,12 +62,19 @@ def _slice_lines(lines: SpectralLines, s) -> SpectralLines:
 
 
 def _slice_plan(plans: DeviceWindowPlan, s) -> DeviceWindowPlan:
+    def opt(x):
+        return None if x is None else x[s]
+
     return dataclasses.replace(
         plans,
         nu_blocks=plans.nu_blocks[s],
         nu_blocks_lo=plans.nu_blocks_lo[s],
         start=plans.start[s],
         count=plans.count[s],
+        fine_blocks=opt(plans.fine_blocks),
+        fine_blocks_lo=opt(plans.fine_blocks_lo),
+        coarse_blocks=opt(plans.coarse_blocks),
+        coarse_blocks_lo=opt(plans.coarse_blocks_lo),
     )
 
 
@@ -96,6 +103,7 @@ class ShardedLineGas(AbstractGas):
     formula: str = dataclasses.field(metadata=dict(static=True), default="")
     mu: float = dataclasses.field(metadata=dict(static=True), default=float("nan"))
     n_shards: int = dataclasses.field(metadata=dict(static=True), default=1)
+    strategy: str = dataclasses.field(metadata=dict(static=True), default="auto")
 
     @property
     def k_local(self) -> int:
@@ -135,6 +143,7 @@ class ShardedLineGas(AbstractGas):
                 _slice_lines(self.lines, s),
                 T, P, Pp, self.shape,
                 conc=self._conc_local(s, T, P),
+                strategy=self.strategy,
             )
             outs.append(sig)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
@@ -176,12 +185,19 @@ class ShardedLineGas(AbstractGas):
             **{f: stacked(getattr(self.lines, f)) for f in _LINE_FIELDS},
             tips_coeffs=P(),
         )
+        def opt3(x):
+            return None if x is None else P("nu", None, None)
+
         plans_spec = dataclasses.replace(
             self.plans,
             nu_blocks=P("nu", None, None),
             nu_blocks_lo=P("nu", None, None),
             start=P("nu", None),
             count=P("nu", None),
+            fine_blocks=opt3(self.plans.fine_blocks),
+            fine_blocks_lo=opt3(self.plans.fine_blocks_lo),
+            coarse_blocks=opt3(self.plans.coarse_blocks),
+            coarse_blocks_lo=opt3(self.plans.coarse_blocks_lo),
         )
         return dataclasses.replace(
             self,
@@ -235,11 +251,23 @@ def shard_line_gas(gas, n_shards: int, block: int | None = None) -> ShardedLineG
     lines = gas.lines
     nu_l = np.asarray(lines.nu, np.float64)
 
+    # coarse-far sizing first (grid geometry only): when the split engages,
+    # its per-shard coarse grid extends 2h beyond the shard edges for the
+    # cubic stencil, so the slab halo must widen accordingly — boundary
+    # coarse points otherwise miss lines in (cut, cut+2h] of themselves
+    from ..ops.linesum_pallas import _coarse_far_params, _fine_block
+
+    cmeta = _coarse_far_params(build_line_window_plan(
+        nu[: n_nu // n_shards], nu_l, cut, block=block))
+    if cmeta is not None and cmeta[3] < 2:
+        cmeta = None
+    halo = cut + (4.0 * cmeta[1] if cmeta is not None else 0.0)
+
     bounds, plans = [], []
     for s in range(n_shards):
         nus = nu[s * n_local : (s + 1) * n_local]
-        a = int(np.searchsorted(nu_l, nus[0] - cut, side="left"))
-        b = int(np.searchsorted(nu_l, nus[-1] + cut, side="right"))
+        a = int(np.searchsorted(nu_l, nus[0] - halo, side="left"))
+        b = int(np.searchsorted(nu_l, nus[-1] + halo, side="right"))
         # lineless shards (grid extending > cut beyond the catalog) keep one
         # count-masked line for static shapes; clamp a BEFORE widening b so a
         # shard above the whole catalog (a == b == n_lines) stays in range
@@ -252,6 +280,40 @@ def shard_line_gas(gas, n_shards: int, block: int | None = None) -> ShardedLineG
     L_pad = -(-L // _PAD) * _PAD
     slab = max(p.slab for p in plans)
     nb, B = plans[0].n_blocks, plans[0].block
+
+    # coarse-far split artifacts (ops.linesum_pallas), prebuilt per shard
+    # where the static geometry accepted above: each shard's fine grid
+    # re-blocked at the shape's fine block width plus a shard-local coarse
+    # grid whose origin sits exactly 2h below the shard's first point (the
+    # strided interpolation stencil relies on that alignment). Sizing is by
+    # grid geometry only, so one sizing (shard 0) covers all shards.
+    fb_hi = fb_lo = cb_hi = cb_lo = None
+    if cmeta is not None:
+        d_farC, hC, n_ccC, _c = cmeta
+        Bf = _fine_block(gas.shape, n_local, B)
+        n_bf = -(-n_local // Bf)
+        n_bc = -(-n_ccC // B)
+        fb64 = np.empty((n_shards, n_bf, Bf))
+        cb64 = np.empty((n_shards, n_bc, B))
+        for s in range(n_shards):
+            nus = nu[s * n_local : (s + 1) * n_local]
+            fb64[s] = np.concatenate(
+                [nus, np.full(n_bf * Bf - n_local, nus[-1])]
+            ).reshape(n_bf, Bf)
+            cps = (nus[0] - 2.0 * hC) + np.arange(n_ccC) * hC
+            cb64[s] = np.concatenate(
+                [cps, np.full(n_bc * B - n_ccC, cps[-1])]
+            ).reshape(n_bc, B)
+
+        def two_float(x64):
+            hi = x64.astype(np.float32)
+            return jnp.asarray(hi), jnp.asarray(
+                (x64 - hi.astype(np.float64)).astype(np.float32)
+            )
+
+        fb_hi, fb_lo = two_float(fb64)
+        cb_hi, cb_lo = two_float(cb64)
+
     nb64 = np.stack([np.asarray(p.nu_blocks, np.float64) for p in plans])
     nb_hi = nb64.astype(np.float32)
     dplans = DeviceWindowPlan(
@@ -264,6 +326,11 @@ def shard_line_gas(gas, n_shards: int, block: int | None = None) -> ShardedLineG
         n_blocks=nb,
         slab=int(slab),
         n_nu=n_local,
+        fine_blocks=fb_hi,
+        fine_blocks_lo=fb_lo,
+        coarse_blocks=cb_hi,
+        coarse_blocks_lo=cb_lo,
+        coarse_meta=cmeta,
     )
 
     def stack_field(name):
@@ -299,4 +366,5 @@ def shard_line_gas(gas, n_shards: int, block: int | None = None) -> ShardedLineG
         formula=gas.formula,
         mu=gas.mu,
         n_shards=n_shards,
+        strategy=getattr(gas, "strategy", "auto"),
     )

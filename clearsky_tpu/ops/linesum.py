@@ -169,6 +169,17 @@ class DeviceWindowPlan:
     n_blocks: int = dataclasses.field(metadata=dict(static=True), default=1)
     slab: int = dataclasses.field(metadata=dict(static=True), default=1)
     n_nu: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # coarse-far split support (see linesum_pallas._pallas_sigma_coarse):
+    # per-shard re-blocked fine grid and coarse far-field grid, prebuilt
+    # host-side where the (static, uniform) geometry accepts the split;
+    # coarse_meta = (d_far, h, n_cc, c_ratio) with c_ratio >= 2
+    fine_blocks: jax.Array | None = None     # [n_blocks_f, Bf]
+    fine_blocks_lo: jax.Array | None = None
+    coarse_blocks: jax.Array | None = None   # [n_blocks_c, block]
+    coarse_blocks_lo: jax.Array | None = None
+    coarse_meta: tuple | None = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
 
     @classmethod
     def from_plan(cls, plan: LineWindowPlan) -> "DeviceWindowPlan":
@@ -449,7 +460,8 @@ def sigma_from_lines_auto(plan, lines, T, P, Pp, shape: str = "voigt",
     return sig.reshape(shp + (plan.n_nu,))
 
 
-def sigma_from_lines_auto_device(dplan, lines, T, P, Pp, shape="voigt", conc=None):
+def sigma_from_lines_auto_device(dplan, lines, T, P, Pp, shape="voigt",
+                                 conc=None, strategy: str = "auto"):
     """Backend-dispatched line sum over a device-array plan (sharded path)."""
     import jax
 
@@ -462,13 +474,14 @@ def sigma_from_lines_auto_device(dplan, lines, T, P, Pp, shape="voigt", conc=Non
     grp = _state_group(lines.nu.shape[0], dplan.slab, shape)
     if n <= grp:
         sig = sigma_from_lines_pallas_device_jvp(
-            dplan, lines, Tf, Pf, Ppf, shape, conc=concf
+            dplan, lines, Tf, Pf, Ppf, shape, conc=concf, strategy=strategy
         )
     else:
         parts = [
             sigma_from_lines_pallas_device_jvp(
                 dplan, lines, Tf[a : a + grp], Pf[a : a + grp],
                 Ppf[a : a + grp], shape, conc=_conc_group(concf, a, a + grp),
+                strategy=strategy,
             )
             for a in range(0, n, grp)
         ]

@@ -748,25 +748,107 @@ def _pallas_sigma_coarse(shape, interpret, plan, lines, T, P, Pp, conc,
     Accuracy: see the calibration constants above (Q_COARSE).
     """
     d_far, h, n_cc, c_ratio = params
-    cut = float(plan.cut)
+    n_lines = int(lines.nu.shape[0])
+    n_states = jnp.atleast_1d(jnp.asarray(T)).shape[0]
+    if not _coarse_resident_ok(shape, n_states, n_lines, limit):
+        return None   # catalog too large to reside; caller falls back
+
+    # grids are static here (the plan is a static arg): build the re-blocked
+    # fine grid and the coarse grid host-side; line positions stay traced
+    nu_f = np.asarray(plan.nu, np.float64)
+    B = plan.block
+    Bf = _fine_block(shape, plan.n_nu, B)
+    n_blocks_f = -(-plan.n_nu // Bf)
+    pad_f = np.full(n_blocks_f * Bf - plan.n_nu, nu_f[-1])
+    fnb64 = np.concatenate([nu_f, pad_f]).reshape(n_blocks_f, Bf)
+    nu_c0 = nu_f[0] - 2.0 * h
+    n_blocks_c = -(-n_cc // B)
+    pad_c = np.full(n_blocks_c * B - n_cc, nu_c0 + (n_cc - 1) * h)
+    cnb64 = np.concatenate([nu_c0 + np.arange(n_cc) * h, pad_c]).reshape(
+        n_blocks_c, B
+    )
+
+    def blocks_f32(nb64):
+        nb_hi = nb64.astype(np.float32)
+        nb_lo = (nb64 - nb_hi.astype(np.float64)).astype(np.float32)
+        return jnp.asarray(nb_hi)[:, None, :], jnp.asarray(nb_lo)[:, None, :]
+
+    interp_static = None
+    if c_ratio < 2:  # non-uniform grid: host-precomputed gather stencil
+        u = (nu_f - nu_c0) / h
+        j = np.clip(np.floor(u).astype(np.int64), 1, n_cc - 3)
+        interp_static = (j, _cr_weights((u - j).astype(np.float64)))
+    return _coarse_core(
+        shape, interpret, lgroup, float(plan.cut), plan.n_nu,
+        (d_far, h, n_cc, c_ratio), lines, T, P, Pp, conc,
+        *blocks_f32(fnb64), *blocks_f32(cnb64), interp_static,
+    )
+
+
+def _fine_block(shape, n_nu, B):
+    """Fine-pass block width: the fine windows are tiny (~4*d_far), so
+    per-block fixed cost (output write, sweep prologues, pipeline bubbles)
+    dominates at B=128 — measured 2.5 us/block regardless of states; wider
+    lanes amortize it for a ~(Bf-B)*spacing window widening the small cut
+    keeps cheap. phco2's chi(dnu, T) factor adds per-state [LG, Bf]
+    temporaries on top of the accumulators and wider lanes spill registers
+    (measured: 128 -> 7.3 ms, 256 -> 10.1, 512 -> 14.4 on the bench phco2
+    config); the lean voigt far tile tolerates — and wants — 512
+    (7.9 -> 6.0 ms on dense 2^18)."""
+    if n_nu >= 2048 and shape in ("voigt", "voigt_ref"):
+        return 512
+    return B
+
+
+def _coarse_resident_ok(shape, n_states, n_lines, limit):
+    """Both passes share one resident pack; in-kernel dynamic slices overrun
+    the catalog by at most one alignment chunk per sweep."""
+    n_lines_pad = -(-(n_lines + 2 * CHUNK) // 128) * 128
+    lane_cost = _grouped_lane_cost(shape, "grouped", n_states)
+    return n_lines_pad * lane_cost * 4 <= limit
+
+
+def _cr_weights(t):
+    """Catmull-Rom cubic weights at fractional offsets t (numpy, host)."""
+    return np.stack(
+        [
+            -0.5 * t**3 + t**2 - 0.5 * t,
+            1.5 * t**3 - 2.5 * t**2 + 1.0,
+            -1.5 * t**3 + 2.0 * t**2 + 0.5 * t,
+            0.5 * t**3 - 0.5 * t**2,
+        ]
+    ).astype(np.float32)
+
+
+def _coarse_core(shape, interpret, lgroup, cut, n_nu, meta, lines, T, P, Pp,
+                 conc, fnb, fnb_lo, cnb, cnb_lo, interp_static=None):
+    """Shared traced core of the coarse-far split.
+
+    ``fnb``/``cnb`` (+_lo): [n_blocks, 1, B]-shaped two-float block grids —
+    jnp constants from the static wrapper or traced pytree leaves from the
+    sharded device wrapper. Every line-index window is a traced searchsorted
+    against the (traced) line positions; block-edge margins of 0.01 cm^-1
+    swallow f32 edge rounding, with membership decided exactly in-kernel by
+    the two-float |dnu| masks. ``interp_static``: (j, wk) host gather stencil
+    for non-uniform grids (None = strided-slice path, requires
+    c_ratio >= 2).
+    """
+    d_far, h, n_cc, c_ratio = meta
     w_roll = W_ROLL_CELLS * h
     D1, D2 = d_far * d_far, 4.0 * d_far * d_far
     R1, R2 = (cut - w_roll) ** 2, cut * cut
-    B = plan.block
+    Bf = fnb.shape[-1]
+    B = cnb.shape[-1]
+    n_blocks_f = fnb.shape[0]
+    n_blocks_c = cnb.shape[0]
 
     T = jnp.atleast_1d(jnp.asarray(T, jnp.float32))
     n_states = T.shape[0]
-    n_lines = int(np.asarray(lines.nu.shape[0]))
-
-    # residency: both passes share one resident pack; the in-kernel dynamic
-    # slices overrun the catalog by at most one alignment chunk per sweep
+    n_lines = int(lines.nu.shape[0])
     voigt_split = shape in ("voigt", "voigt_ref")
     rows_per_state = 7 if voigt_split else 3
     pret = not voigt_split
     n_lines_pad = -(-(n_lines + 2 * CHUNK) // 128) * 128
-    lane_cost = _grouped_lane_cost(shape, "grouped", n_states)
-    if n_lines_pad * lane_cost * 4 > limit:
-        return None   # catalog too large to reside; caller falls back
 
     P = jnp.atleast_1d(jnp.asarray(P, jnp.float32))
     Pp = jnp.atleast_1d(jnp.asarray(Pp, jnp.float32))
@@ -786,66 +868,29 @@ def _pallas_sigma_coarse(shape, interpret, plan, lines, T, P, Pp, conc,
     )
     T2 = T[:, None]
 
-    # grids are static (the plan is a static arg); line positions are traced,
-    # so every line-index window below is a traced searchsorted — the same
-    # pattern the standard path uses for its near sub-window
-    nu_f = np.asarray(plan.nu, np.float64)
-    # the fine pass re-blocks the grid WIDER than the caller's plan: its
-    # windows are tiny (~4*d_far), so per-block fixed cost (output write,
-    # sweep prologues, pipeline bubbles) dominates at B=128 — measured
-    # 2.5 us/block regardless of states; wider lanes amortize it for a
-    # ~(Bf-B)*spacing window widening that the small cut keeps cheap.
-    # phco2's chi(dnu, T) factor adds per-state [LG, Bf] temporaries on top
-    # of the accumulators, and wider lanes spill registers (measured: 128
-    # 7.3 ms, 256 10.1, 512 14.4 on the bench phco2 config); the lean voigt
-    # far tile tolerates — and wants — 512 (7.9 -> 6.0 ms on dense 2^18).
-    Bf = B
-    if plan.n_nu >= 2048 and shape in ("voigt", "voigt_ref"):
-        Bf = 512
-    n_blocks_f = -(-plan.n_nu // Bf)
-    pad_f = np.full(n_blocks_f * Bf - plan.n_nu, nu_f[-1])
-    fnb64 = np.concatenate([nu_f, pad_f]).reshape(n_blocks_f, Bf)
-    nu_c0 = nu_f[0] - 2.0 * h
-    n_blocks_c = -(-n_cc // B)
-    pad_c = np.full(n_blocks_c * B - n_cc, nu_c0 + (n_cc - 1) * h)
-    cnb64 = np.concatenate([nu_c0 + np.arange(n_cc) * h, pad_c]).reshape(
-        n_blocks_c, B
-    )
-
-    def blocks_f32(nb64):
-        nb_hi = nb64.astype(np.float32)
-        nb_lo = (nb64 - nb_hi.astype(np.float64)).astype(np.float32)
-        return jnp.asarray(nb_hi)[:, None, :], jnp.asarray(nb_lo)[:, None, :]
-
-    def win(nb64, lo_off, hi_off):
-        s = jnp.searchsorted(
-            nu_l, jnp.asarray(nb64[:, 0] + lo_off, jnp.float32)
-        ).astype(jnp.int32)
+    def win(nb, lo_off, hi_off):
+        s = jnp.searchsorted(nu_l, nb[:, 0, 0] + lo_off).astype(jnp.int32)
         e = jnp.searchsorted(
-            nu_l, jnp.asarray(nb64[:, -1] + hi_off, jnp.float32), side="right"
+            nu_l, nb[:, 0, -1] + hi_off, side="right"
         ).astype(jnp.int32)
         return s, jnp.maximum(e - s, 0)
 
     # --- fine pass: near w4 + mid (1-W) + exact outer annuli ---------------
-    fnb, fnb_lo = blocks_f32(fnb64)
     amax = jnp.max(jnp.where(nu_l < 1e29, alpha, 0.0))
     if shape.endswith("_ref"):
         amax = amax * (1.0 / _SQRT_LN2)
     d_near = jnp.minimum(15.0 * amax, 2.0 * d_far).astype(jnp.float32)
-    startF, cntF = win(fnb64, -2.0 * d_far - 0.01, 2.0 * d_far + 0.01)
+    startF, cntF = win(fnb, -2.0 * d_far - 0.01, 2.0 * d_far + 0.01)
     wend = startF + cntF
-    s2 = jnp.searchsorted(
-        nu_l, jnp.asarray(fnb64[:, 0], jnp.float32) - d_near - 0.01
-    ).astype(jnp.int32)
+    s2 = jnp.searchsorted(nu_l, fnb[:, 0, 0] - d_near - 0.01).astype(jnp.int32)
     e2 = jnp.searchsorted(
-        nu_l, jnp.asarray(fnb64[:, -1], jnp.float32) + d_near + 0.01,
-        side="right",
+        nu_l, fnb[:, 0, -1] + d_near + 0.01, side="right"
     ).astype(jnp.int32)
     start2 = jnp.clip(s2, startF, wend)
     cnt2 = jnp.clip(e2, start2, wend) - start2
     # annulus slabs: lines whose [cut-w_roll, cut] shell reaches the block
-    sL, cL = win(fnb64, -cut - 0.01, -cut + w_roll + 0.01)
-    sR, cR = win(fnb64, cut - w_roll - 0.01, cut + 0.01)
+    sL, cL = win(fnb, -cut - 0.01, -cut + w_roll + 0.01)
+    sR, cR = win(fnb, cut - w_roll - 0.01, cut + 0.01)
     scalF = jnp.stack(
         [startF, cntF, start2, cnt2, sL, cL, sR, cR], axis=1
     )
@@ -857,11 +902,10 @@ def _pallas_sigma_coarse(shape, interpret, plan, lines, T, P, Pp, conc,
     fine = _grouped_call(
         kernF, fnb, fnb_lo, Pk, scalF, dnear_op, T2,
         n_states, Bf, n_blocks_f, pret, n_params, interpret,
-    )[:, : plan.n_nu]
+    )[:, :n_nu]
 
     # --- coarse pass: W * Wout weighted region-1 far field -----------------
-    cnb, cnb_lo = blocks_f32(cnb64)
-    startC, cntC = win(cnb64, -cut - 0.01, cut + 0.01)
+    startC, cntC = win(cnb, -cut - 0.01, cut + 0.01)
     scalC = jnp.stack(
         [startC, cntC, jnp.zeros_like(startC), jnp.zeros_like(startC)], axis=1
     )
@@ -874,36 +918,24 @@ def _pallas_sigma_coarse(shape, interpret, plan, lines, T, P, Pp, conc,
         n_states, B, n_blocks_c, pret, n_params, interpret,
     )[:, :n_cc]
 
-    # --- cubic interpolation in sqrt space, host-precomputed stencil -------
-    def cr_weights(t):
-        return np.stack(
-            [
-                -0.5 * t**3 + t**2 - 0.5 * t,
-                1.5 * t**3 - 2.5 * t**2 + 1.0,
-                -1.5 * t**3 + 2.0 * t**2 + 0.5 * t,
-                0.5 * t**3 - 0.5 * t**2,
-            ]
-        ).astype(np.float32)
-
+    # --- cubic interpolation in sqrt space -----------------------------------
     G = jnp.sqrt(jnp.maximum(far_c, 0.0))
-    if c_ratio >= 2:
+    if interp_static is None:
         # uniform fine grid with h = c_ratio * spacing and nu_c0 on-grid:
         # fine index i = m*c + r has j = m + 2 and t = r/c, so the stencil is
         # four STRIDED SLICES of the coarse field + one [4, c] weight table —
         # no device gathers (TPU minor-dim gathers would eat the saved time)
         c = c_ratio
-        n_m = -(-plan.n_nu // c)
-        wk_r = cr_weights(np.arange(c, dtype=np.float64) / c)   # [4, c]
+        n_m = -(-n_nu // c)
+        wk_r = _cr_weights(np.arange(c, dtype=np.float64) / c)   # [4, c]
         acc = jnp.zeros((n_states, n_m, c), jnp.float32)
         for k in range(4):
             Gk = jax.lax.slice_in_dim(G, 1 + k, 1 + k + n_m, axis=1)
             acc = acc + Gk[:, :, None] * jnp.asarray(wk_r[k])[None, None, :]
-        far = acc.reshape(n_states, n_m * c)[:, : plan.n_nu]
+        far = acc.reshape(n_states, n_m * c)[:, :n_nu]
     else:
-        u = (nu_f - nu_c0) / h
-        j = np.clip(np.floor(u).astype(np.int64), 1, n_cc - 3)
-        wk = cr_weights((u - j).astype(np.float64))
-        far = jnp.zeros((n_states, plan.n_nu), jnp.float32)
+        j, wk = interp_static
+        far = jnp.zeros((n_states, n_nu), jnp.float32)
         for k in range(4):
             far = far + jnp.asarray(wk[k]) * jnp.take(
                 G, jnp.asarray(j + (k - 1), jnp.int32), axis=1
@@ -1219,7 +1251,32 @@ def sigma_from_lines_pallas_device(
     point works with the plan and line slab sharded over a mesh and traced
     inside ``shard_map`` — each spectral shard runs the kernel against its own
     contiguous line slab (SURVEY.md §5 halo design).
+
+    When the plan carries prebuilt coarse-far grids (``coarse_meta`` set by
+    ``absorption.sharded.shard_line_gas`` where the static geometry accepts),
+    ``strategy="coarse"`` — and "auto" for phco2, mirroring the static path —
+    runs the split through the shared traced core.
     """
+    if (
+        dplan.coarse_meta is not None
+        and shape in _SPLIT_SHAPES
+        and (strategy == "coarse"
+             or (strategy == "auto" and shape.startswith("phco2")))
+    ):
+        n_states = jnp.atleast_1d(jnp.asarray(T)).shape[0]
+        if _coarse_resident_ok(
+            shape, n_states, lines.nu.shape[0], _RESIDENT_VMEM_LIMIT
+        ):
+            return _coarse_core(
+                shape, interpret, lgroup, dplan.cut, dplan.n_nu,
+                dplan.coarse_meta, lines, T, P, Pp, conc,
+                dplan.fine_blocks.astype(jnp.float32)[:, None, :],
+                dplan.fine_blocks_lo[:, None, :],
+                dplan.coarse_blocks.astype(jnp.float32)[:, None, :],
+                dplan.coarse_blocks_lo[:, None, :],
+            )
+    if strategy == "coarse":
+        strategy = "auto"
     nb = dplan.nu_blocks
     if nb.dtype == jnp.float64:
         nb_hi = nb.astype(jnp.float32)
@@ -1269,14 +1326,16 @@ def sigma_from_lines_pallas_jvp(plan, lines, T, P, Pp, shape="voigt",
     return _pallas_jvp_core(plan, shape, strategy, lines, T, P, Pp, conc)
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(0,))
-def _pallas_device_jvp_core(shape, dplan, lines, T, P, Pp, conc):
-    return sigma_from_lines_pallas_device(dplan, lines, T, P, Pp, shape, conc=conc)
+@partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _pallas_device_jvp_core(shape, strategy, dplan, lines, T, P, Pp, conc):
+    return sigma_from_lines_pallas_device(
+        dplan, lines, T, P, Pp, shape, conc=conc, strategy=strategy
+    )
 
 
 @_pallas_device_jvp_core.defjvp
-def _pallas_device_jvp_rule(shape, primals, tangents):
-    out = _pallas_device_jvp_core(shape, *primals)
+def _pallas_device_jvp_rule(shape, strategy, primals, tangents):
+    out = _pallas_device_jvp_core(shape, strategy, *primals)
     _, dout = jax.jvp(
         lambda dplan, lines, T, P, Pp, conc: sigma_from_lines_device(
             dplan, lines, T, P, Pp, shape, conc=conc
@@ -1288,7 +1347,7 @@ def _pallas_device_jvp_rule(shape, primals, tangents):
 
 
 def sigma_from_lines_pallas_device_jvp(
-    dplan, lines, T, P, Pp, shape="voigt", conc=None
+    dplan, lines, T, P, Pp, shape="voigt", conc=None, strategy="auto"
 ):
     """Device-plan (sharded) kernel primal + oracle-path JVP.
 
@@ -1298,4 +1357,4 @@ def sigma_from_lines_pallas_device_jvp(
     autodiff rule). The plan is an ordinary pytree argument here (it may be
     traced/sharded), with the usual zero tangents.
     """
-    return _pallas_device_jvp_core(shape, dplan, lines, T, P, Pp, conc)
+    return _pallas_device_jvp_core(shape, strategy, dplan, lines, T, P, Pp, conc)

@@ -94,6 +94,37 @@ def drive(tag, lines, nu, shape, cut):
     return out
 
 
+def drive_sharded(tag, lines, nu, shape, n_shards):
+    """nu-sharded device-plan path (single chip, shard loop) coarse vs auto."""
+    from clearsky_tpu.absorption.gas import DirectGas
+    from clearsky_tpu.absorption.sharded import shard_line_gas
+    import dataclasses
+
+    T = jnp.asarray(np.linspace(180.0, 320.0, N_STATES), jnp.float32)
+    P = jnp.asarray(np.exp(np.linspace(np.log(10.0), np.log(1e5), N_STATES)),
+                    jnp.float32)
+    gas = DirectGas.from_lines(lines, 0.9, nu, shape=shape)
+    sg = shard_line_gas(gas, n_shards)
+    print(f"[{tag}] coarse_meta={sg.plans.coarse_meta}", flush=True)
+    out = {}
+    sigs = {}
+    for strat in ("auto", "coarse"):
+        g = dataclasses.replace(sg, strategy=strat)
+        t = timed(lambda s, _g=g: _g.raw_sigma(T + s, P))
+        sigs[strat] = np.asarray(g.raw_sigma(T, P))
+        out[strat] = dict(per_call_s=t)
+        print(f"[{tag}] {strat}: {t*1e3:.3f} ms/call", flush=True)
+    a, b = sigs["auto"], sigs["coarse"]
+    pk = np.abs(a).max(axis=1, keepdims=True)
+    m = np.abs(a) > 1e-4 * pk
+    out["max_rel_vs_default(sig>1e-4pk)"] = float(
+        (np.abs(b - a) / np.maximum(np.abs(a), 1e-300))[m].max())
+    out["speedup"] = out["auto"]["per_call_s"] / out["coarse"]["per_call_s"]
+    print(f"[{tag}] agreement {out['max_rel_vs_default(sig>1e-4pk)']:.3e}, "
+          f"speedup {out['speedup']:.2f}x", flush=True)
+    return out
+
+
 def main():
     lines = SpectralLines.from_par(CO2)
     rep = {"backend": jax.default_backend()}
@@ -102,6 +133,8 @@ def main():
     nu_l = np.asarray(lines.nu, np.float64)
     nu_bench = np.linspace(nu_l.min() - 25.0, nu_l.max() + 25.0, 131072)
     rep["phco2_bench"] = drive("phco2 bench", lines, nu_bench, "phco2", 500.0)
+    rep["voigt_dense_sharded4"] = drive_sharded(
+        "voigt dense sharded x4", lines, nu_dense, "voigt", 4)
     print(json.dumps(rep, indent=1, default=float))
 
 

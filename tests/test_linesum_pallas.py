@@ -287,3 +287,36 @@ def test_coarse_far_nonuniform_grid(co2_full):
     m = np.abs(ref) > 1e-4 * pk
     rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300)
     assert rel[m].max() < 2e-3, rel[m].max()
+
+
+def test_coarse_far_sharded_matches_oracle(co2_full):
+    """The nu-sharded device-plan path with prebuilt coarse-far grids: each
+    shard's slab (halo widened by 2h for the boundary coarse stencil) through
+    the shared traced core must reproduce the unsharded oracle within the
+    strategy's accuracy class — and exactly cover the grid when
+    concatenated."""
+    from clearsky_tpu.absorption.gas import DirectGas
+    from clearsky_tpu.absorption.sharded import (
+        shard_line_gas, _slice_plan, _slice_lines,
+    )
+    from clearsky_tpu.ops.linesum_pallas import sigma_from_lines_pallas_device
+
+    nu = np.linspace(2300.0, 2350.0, 16384)
+    gas = DirectGas.from_lines(co2_full, 0.9, nu)
+    sg = shard_line_gas(gas, 4)
+    assert sg.plans.coarse_meta is not None
+    T = jnp.asarray([200.0, 300.0])
+    P = jnp.asarray([1e3, 1e5])
+    parts = []
+    for s in range(4):
+        parts.append(np.asarray(sigma_from_lines_pallas_device(
+            _slice_plan(sg.plans, s), _slice_lines(sg.lines, s),
+            T, P, 0.5 * P, "voigt", interpret=True, strategy="coarse")))
+    out = np.concatenate(parts, axis=-1)
+    plan = build_line_window_plan(nu, np.asarray(co2_full.nu), 25.0, block=128)
+    ref = np.asarray(sigma_from_lines(plan, co2_full, T, P, 0.5 * P, "voigt"))
+    pk = np.abs(ref).max(axis=1, keepdims=True)
+    m = np.abs(ref) > 1e-4 * pk
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300)
+    assert rel[m].max() < 2e-3, rel[m].max()
+    assert (np.abs(out - ref) / pk).max() < 1e-5
