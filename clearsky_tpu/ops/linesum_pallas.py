@@ -847,6 +847,11 @@ def _coarse_core(shape, interpret, lgroup, cut, n_nu, meta, lines, T, P, Pp,
     n_lines = int(lines.nu.shape[0])
     voigt_split = shape in ("voigt", "voigt_ref")
     rows_per_state = 7 if voigt_split else 3
+    # layout matches the one-pass kernel's per-shape choice; an
+    # all-pre-transposed variant (hypothesis: skip sweep_chunked's per-sweep
+    # scratch relayout in the four tiny fine sweeps) measured WORSE on the
+    # dense 2^18 voigt A/B (6.0 -> 6.5 ms), so the chunked-transpose pack
+    # stays for split voigt
     pret = not voigt_split
     n_lines_pad = -(-(n_lines + 2 * CHUNK) // 128) * 128
 
