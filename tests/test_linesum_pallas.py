@@ -320,3 +320,41 @@ def test_coarse_far_sharded_matches_oracle(co2_full):
     rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300)
     assert rel[m].max() < 2e-3, rel[m].max()
     assert (np.abs(out - ref) / pk).max() < 1e-5
+
+
+def test_coarse_far_multigas_conc(co2_full, fixtures_dir):
+    """Fused multi-molecule catalogs (per-line concentrations) through the
+    coarse split: the conc scaling must flow through both passes."""
+    from clearsky_tpu.spectra.merge import merge_lines
+    from clearsky_tpu.ops.linesum_pallas import _coarse_far_params
+
+    h2o = SpectralLines.from_par(f"{fixtures_dir}/H2O.par", maxlines=800)
+    merged, conc = merge_lines([(co2_full, 0.9), (h2o, 0.005)])
+    nu = np.linspace(2300.0, 2350.0, 16384)
+    plan = build_line_window_plan(nu, np.asarray(merged.nu), 25.0, block=128)
+    assert _coarse_far_params(plan) is not None
+    T = jnp.asarray([200.0, 300.0])
+    P = jnp.asarray([1e3, 1e5])
+    ref = np.asarray(sigma_from_lines(
+        plan, merged, T, P, None, "voigt", conc=jnp.asarray(conc)))
+    out = np.asarray(sigma_from_lines_pallas(
+        plan, merged, T, P, P, "voigt", interpret=True, strategy="coarse",
+        conc=jnp.asarray(conc)))
+    pk = np.abs(ref).max(axis=1, keepdims=True)
+    m = np.abs(ref) > 1e-4 * pk
+    rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300)
+    assert rel[m].max() < 2e-3, rel[m].max()
+
+
+def test_phco2_auto_routes_through_coarse(co2_full):
+    """On an accepting geometry, plain strategy='auto' phco2 must produce
+    EXACTLY the coarse path's output (the auto-routing contract)."""
+    nu = np.linspace(2300.0, 2350.0, 16384)
+    plan = build_line_window_plan(nu, np.asarray(co2_full.nu), 500.0, block=128)
+    T = jnp.asarray([250.0])
+    P = jnp.asarray([1e4])
+    a = np.asarray(sigma_from_lines_pallas(
+        plan, co2_full, T, P, P, "phco2", interpret=True))
+    b = np.asarray(sigma_from_lines_pallas(
+        plan, co2_full, T, P, P, "phco2", interpret=True, strategy="coarse"))
+    np.testing.assert_array_equal(a, b)
