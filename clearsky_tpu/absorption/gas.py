@@ -72,6 +72,20 @@ def _check_nu(nu) -> np.ndarray:
     return nu
 
 
+def _warm_stencil_geometry(plan, lines, shape: str) -> None:
+    """Build the stencil-near placement geometry while line data is concrete.
+
+    Inside a jitted step (RCM, bake chunks) the catalog is traced, and the
+    kernel's auto-routed stencil strategy (ops.linesum_pallas) can only use
+    a geometry cached on the plan by a prior concrete build — gas
+    constructors are that prior moment.
+    """
+    if shape in ("voigt", "voigt_ref", "phco2", "phco2_ref"):
+        from ..ops.linesum_pallas import _stencil_geom_cached
+
+        _stencil_geom_cached(plan, lines)
+
+
 def as_concentration(fC) -> Callable:
     """Normalize a concentration spec (scalar or fC(T, P)) to a callable."""
     if callable(fC):
@@ -127,6 +141,7 @@ def bake_sigma_grid(
     fC = as_concentration(fC)
     nu = _check_nu(nu)
     plan = build_line_window_plan(nu, np.asarray(lines.nu), cut, block=block)
+    _warm_stencil_geometry(plan, lines, shape)
     if backend == "auto":
         eval_fn = sigma_from_lines_auto
     elif backend == "oracle":
@@ -363,6 +378,7 @@ class DirectGas(AbstractGas):
         cut = DEFAULT_CUT[shape] if cut is None else float(cut)
         nu = _check_nu(nu)
         plan = build_line_window_plan(nu, np.asarray(lines.nu), cut, block=block)
+        _warm_stencil_geometry(plan, lines, shape)
         return cls(
             lines=lines,
             nu=jnp.asarray(nu),
@@ -572,6 +588,7 @@ class MultiGas(AbstractGas):
             merged, conc = merge_lines(entries)
             mol_ptr = None
         plan = build_line_window_plan(nu, np.asarray(merged.nu), cut, block=block)
+        _warm_stencil_geometry(plan, merged, shape)
         return cls(
             lines=merged,
             conc=conc,

@@ -443,6 +443,14 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
                     wfn=ann_w)
         acc = sweep(scal_ref[b, 6], scal_ref[b, 7], tile_far, ann_mask, acc,
                     wfn=ann_w)
+    elif wmode is not None and wmode[0] == "farall":
+        # stencil-near variant (strategy="stencil"): the cheap region-1
+        # profile rides the WHOLE window (no inner hole), and the w4-vs-
+        # region-1 difference is added back in XLA at the few grid points
+        # within each line's |x| <= 15 core (see _stencil_near_correction).
+        # Because the XLA pass adds a *correction*, mask-boundary rounding
+        # between the two passes costs at most the region-1 error itself.
+        acc = sweep(start, cnt, tile_far, lambda adnu: adnu <= cut, acc0)
     elif wmode is not None and wmode[0] == "coarse":
         # coarse-far split, coarse pass: one region-1 sweep of the whole
         # window weighted by W*Wout (smooth in nu, so the result can be
@@ -949,10 +957,283 @@ def _coarse_core(shape, interpret, lgroup, cut, n_nu, meta, lines, T, P, Pp,
     return fine + far
 
 
+def _stencil_width(plan: LineWindowPlan, lines) -> int:
+    """Static stencil width K for the stencil-near strategy.
+
+    2K consecutive grid points (a row-aligned window of two K-point rows)
+    around each line must cover the line's |x| <= 15 core (the region-1
+    validity hole, see `_profile_far`) — the row alignment guarantees K/2
+    points of reach on each side, so K/2 grid steps must reach
+    15*alpha_eff at the WORST local grid spacing. The Doppler width bound
+    is evaluated at T = 1000 K — the TIPS fit domain ceiling (ref
+    molparam, scripts/molparam.py:29), beyond which the physics is out of
+    domain anyway — and includes the *_ref convention's 1/sqrt(ln2)
+    rescale. When ``lines`` is traced (called inside an outer jit, e.g.
+    an RCM step), a mass-2 (H2, the lightest HITRAN radiator)
+    catalog-wide fallback bound is used instead.
+    """
+    grid = np.asarray(plan.nu, np.float64)
+    if grid.shape[0] < 2:
+        return 8
+    dmin = float(np.diff(grid).min())
+    from ..constants import C_LIGHT, R_GAS
+
+    nu_l = getattr(lines, "nu", None)
+    mu = getattr(lines, "mu", None)
+    if isinstance(nu_l, jax.core.Tracer) or isinstance(mu, jax.core.Tracer):
+        amax = (float(grid[-1]) + plan.cut) / C_LIGHT * float(
+            np.sqrt(2.0 * R_GAS * 1000.0 / 0.002)
+        )
+    else:
+        nu_c = np.asarray(nu_l, np.float64)
+        mu_c = np.asarray(mu, np.float64)
+        # only lines within reach of the grid matter (lines beyond the cut
+        # never contribute; their clamped stencil windows mask to zero)
+        m = (nu_c >= grid[0] - plan.cut) & (nu_c <= grid[-1] + plan.cut)
+        amax = float(
+            (nu_c[m] / C_LIGHT * np.sqrt(2.0 * R_GAS * 1000.0 / mu_c[m])).max()
+        ) if m.any() else 0.0
+    amax = amax * (1.0 / _SQRT_LN2)  # covers the *_ref convention too
+    k = 2 * (int(np.ceil(15.0 * amax / dmin)) + 2)
+    k = -(-k // 8) * 8
+    return max(8, min(k, int(plan.n_nu)))
+
+
+# chunk height (output rows of width K per placement matmul tile) and the
+# entry pad of the small chunk class; see _build_stencil_geom
+_STENCIL_CROWS = 64
+_STENCIL_MSMALL = 64
+
+
+def _build_stencil_geom(plan: LineWindowPlan, lines):
+    """Host-side static geometry for the stencil-near strategy.
+
+    Returns ``(meta, arrays)`` or ``None`` when the strategy does not
+    apply (traced line data, degenerate grids, or a near zone too wide
+    for a cheap stencil — e.g. line-resolving dense grids, where the
+    coarse-far split is the right tool instead).
+
+    Geometry: each line owns a row-aligned window of 2K grid points
+    (rows q and q+1 of the K-wide row grid), guaranteeing K/2 points of
+    reach each side of the line. The placement back onto the spectrum is
+    a chunk-diagonal one-hot matmul (MXU): output rows are grouped into
+    chunks of _STENCIL_CROWS rows; each chunk's contributing window
+    entries are a contiguous (line-sorted) slice of the payload, placed
+    by a static 0/1 matrix — XLA scatter on TPU costs ~10 us per 1k
+    index rows, ~50x this matmul formulation at bench geometry. Chunks
+    come in two pad classes (most spectral chunks hold few lines; band
+    heads hold hundreds) to keep the one-hot tensors small.
+
+    meta (hashable statics):
+      (K, R, CH, n_lines, classes) with classes = per-class tuples
+      (chunk_ids, entry_starts, Mpad).
+    arrays (numpy, passed traced through the jit boundary):
+      dnu_hi/dnu_lo [2K, L] two-float point-minus-line offsets, and one
+      0/1 placement tensor [nc, CROWS, Mpad] per class.
+    """
+    nu_l = getattr(lines, "nu", None)
+    mu = getattr(lines, "mu", None)
+    if isinstance(nu_l, jax.core.Tracer) or isinstance(mu, jax.core.Tracer):
+        return None
+    nu_l64 = np.asarray(nu_l, np.float64)
+    # two-float positions: when the catalog stores f32 nu + lo residuals
+    # (x64 disabled), the true f64 position is their sum — dropping the lo
+    # part shifts line cores by up to ~1e-4 cm^-1 (the exact trap the
+    # sharded-plan f32-grid bug hit in round 2, see CLAUDE.md)
+    if np.asarray(nu_l).dtype == np.float32 and getattr(lines, "nu_lo", None) is not None:
+        nu_lo = getattr(lines, "nu_lo")
+        if isinstance(nu_lo, jax.core.Tracer):
+            return None
+        nu_l64 = nu_l64 + np.asarray(nu_lo, np.float64)
+    L = int(nu_l64.shape[0])
+    grid = np.asarray(plan.nu, np.float64)
+    n_nu = int(plan.n_nu)
+    if L == 0 or grid.shape[0] < 2:
+        return None
+    K = _stencil_width(plan, lines)
+    from ..constants import C_LIGHT, R_GAS
+
+    mu_c = np.asarray(mu, np.float64)
+    mrange = (nu_l64 >= grid[0] - plan.cut) & (nu_l64 <= grid[-1] + plan.cut)
+    if not mrange.any():
+        return None
+    amax = float(
+        (nu_l64[mrange] / C_LIGHT
+         * np.sqrt(2.0 * R_GAS * 1000.0 / mu_c[mrange])).max()
+    ) / _SQRT_LN2
+    # reject: near zone reaching the cut would couple the correction mask
+    # to the far sweep's cut mask (see _stencil_apply exactness note), and
+    # K > 64 marks a line-resolving grid where the O(L*K) pass stops being
+    # cheap (the coarse-far split owns that regime)
+    if K > 64 or n_nu < 4 * K or 15.0 * amax >= 0.99 * plan.cut:
+        return None
+    R = -(-n_nu // K)
+    if R < 2:
+        return None
+    idx0 = np.searchsorted(grid, nu_l64).astype(np.int64)
+    q = np.clip((idx0 - K // 2) // K, 0, R - 2).astype(np.int64)
+    gwin = q[:, None] * K + np.arange(2 * K, dtype=np.int64)[None, :]
+    gval = grid[np.minimum(gwin, n_nu - 1)]
+    dnu64 = gval - nu_l64[:, None]  # [L, 2K]
+    dnu_hi = dnu64.astype(np.float32)
+    dnu_lo = (dnu64 - dnu_hi.astype(np.float64)).astype(np.float32)
+
+    CROWS = _STENCIL_CROWS
+    CH = -(-R // CROWS)
+    cS = np.arange(CH, dtype=np.int64) * CROWS
+    cE = cS + CROWS
+    # lines touch chunk c iff q in [cS-1, cE) (row q or q+1 in range)
+    uLo = np.searchsorted(q, cS - 1, side="left")
+    uHi = np.searchsorted(q, cE, side="left")
+    uHi = np.maximum(uHi, uLo)
+    m2 = 2 * (uHi - uLo)  # entries per chunk (A and B row per line)
+    # adaptive pad classes: most spectral chunks hold few lines while band
+    # heads hold hundreds — one global pad would multiply the payload
+    # copies ~10x (pads are per-class chunk copies, see _stencil_apply)
+    Mlarge = int(-(-max(int(m2.max()), 2) // 64) * 64)
+    bounds = [b for b in (_STENCIL_MSMALL, 256, 1024) if b < Mlarge]
+    bounds.append(Mlarge)
+    classes_np = []
+    lo_b = -1
+    for Mpad in bounds:
+        which = (m2 > lo_b) & (m2 <= Mpad)
+        lo_b = Mpad
+        ids = np.nonzero(which)[0]
+        if ids.size == 0:
+            continue
+        nc = ids.size
+        OH = np.zeros((nc, CROWS, Mpad), np.float32)
+        for ci, c in enumerate(ids):
+            for j, l in enumerate(range(uLo[c], uHi[c])):
+                rA = q[l] - cS[c]
+                if 0 <= rA < CROWS:
+                    OH[ci, rA, 2 * j] = 1.0
+                rB = rA + 1
+                if 0 <= rB < CROWS:
+                    OH[ci, rB, 2 * j + 1] = 1.0
+        classes_np.append(
+            (tuple(int(i) for i in ids),
+             tuple(int(2 * u) for u in uLo[ids]),
+             int(Mpad), OH)
+        )
+    meta = (int(K), int(R), int(CH), L,
+            tuple((ids, starts, Mpad) for ids, starts, Mpad, _ in classes_np))
+    arrays = {"dnu_hi": dnu_hi.T.copy(), "dnu_lo": dnu_lo.T.copy()}
+    for i, (_, _, _, OH) in enumerate(classes_np):
+        arrays[f"oh{i}"] = OH
+    return meta, arrays
+
+
+def _stencil_geom_cached(plan: LineWindowPlan, lines):
+    """Build-once cache of the stencil geometry on the (frozen) plan.
+
+    Keyed by the catalog size and end positions — a plan is built for one
+    catalog (DirectGas.from_lines pairs them 1:1), so this only guards
+    against accidental reuse with a different lines object. Returns None
+    when ``lines`` is traced and no concrete build has happened yet.
+    """
+    nu_l = getattr(lines, "nu", None)
+    cache = getattr(plan, "_stencil_cache", None)
+    if isinstance(nu_l, jax.core.Tracer):
+        if cache is not None and cache[0][0] == int(nu_l.shape[0]):
+            return cache[1]
+        return None
+    nu_np = np.asarray(nu_l, np.float64)
+    key = (int(nu_np.shape[0]),
+           float(nu_np[0]) if nu_np.size else 0.0,
+           float(nu_np[-1]) if nu_np.size else 0.0)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    geom = _build_stencil_geom(plan, lines)
+    object.__setattr__(plan, "_stencil_cache", (key, geom))
+    return geom
+
+
+def _stencil_apply(shape, meta, arrays, S, alpha, gamma, T, cut, n_nu):
+    """XLA-side near-core correction for the stencil-near strategy.
+
+    The grouped kernel's `farall` mode accumulates the slim Humlicek
+    region-1 profile over the WHOLE window (`tile_far`); region 1 is only
+    invalid inside |x| <= 15 (s = |x|+y >= 15 fails there unless y is
+    large, where w4 == region 1 anyway). That core spans a handful of
+    grid points per line, so the exact fix is added here:
+    Sia*(w4 - region1) on each line's 2K-point window — O(L*K) work in a
+    lanes-major [st, 2K, L] layout replacing the old near sweep's
+    O(near_rows * B) dense w4 kernel evals (~63% of the split-kernel wall
+    on the CO2 bench geometry) — then placed by the static one-hot
+    matmuls described in `_build_stencil_geom`.
+
+    Exactness: the correction is masked to x^2 <= 225 (and |dnu| <= cut);
+    because it *corrects* rather than partitions, a rounding disagreement
+    at the mask boundary costs at most the region-1 error there (~1e-4
+    rel), not a double count. The region-1 value subtracted here is the
+    same algebra as `tile_far` (f32 rounding differences are ~1e-7 of a
+    term that is itself << w4 at the core). The 0/1 placement matmul is
+    exact in f32 (bf16x3 decomposition is exact for multipliers 0 and 1).
+    """
+    K, R, CH, L, classes = meta
+    n_states = S.shape[0]
+    a_eff = alpha * (1.0 / _SQRT_LN2) if shape.endswith("_ref") else alpha
+    ia = 1.0 / a_eff
+    Sia = S * ia * (1.0 / _SQRT_PI)
+    y0 = gamma * ia
+    dnu_hi = jnp.asarray(arrays["dnu_hi"])  # [2K, L]
+    dnu_lo = jnp.asarray(arrays["dnu_lo"])
+    # compute layout [2K, st, L]: every broadcast is a free leading-axis
+    # expansion and the line axis stays on lanes — the naive [st, 2K, L]
+    # payload shuffle cost ~1.8 ms in thin-lane relayouts, 5x this whole
+    # correction pass
+    x = (ia[None] * dnu_hi[:, None, :] + ia[None] * dnu_lo[:, None, :])
+    if shape.startswith("phco2"):
+        dnu = dnu_hi + dnu_lo
+        y = y0[None] * chi_phco2(dnu[:, None, :], T[None, :, None])
+    else:
+        y = jnp.broadcast_to(y0[None], x.shape)
+    w4 = wofz_re(x, y)
+    # Humlicek region-1 real part, same algebra as tile_far's phco2 branch
+    t2r = y * y - x * x
+    t2i = -2.0 * x * y
+    br = 0.5 + t2r
+    d2 = br * br + t2i * t2i
+    wr1 = 0.5641896 * (y * br - x * t2i) / d2
+    corr = Sia[None] * (w4 - wr1)
+    mask = (x * x <= 225.0) & (jnp.abs(dnu_hi) <= cut)[:, None, :]
+    corr = jnp.where(mask, corr, 0.0)  # [2K, st, L]
+    # payload rows e = 2l + part: part 0 -> output row q_l (window cols
+    # [0, K)), part 1 -> row q_l + 1 (cols [K, 2K)). ONE clean 2D
+    # transpose gives [L, (k2, st)]; k2 = part*K + k is the leading block
+    # of that axis, so the [2L, K*st] entry view is a free reshape. The
+    # (k, st) column order is opaque to the placement matmul.
+    pay = corr.reshape(2 * K * n_states, L).T.reshape(2 * L, K * n_states)
+    max_pad = max(Mpad for _, _, Mpad in classes) if classes else 0
+    pay = jnp.concatenate(
+        [pay, jnp.zeros((max_pad, K * n_states), jnp.float32)], axis=0
+    )
+    rows = jnp.zeros((CH, _STENCIL_CROWS, K * n_states), jnp.float32)
+    for i, (ids, starts, Mpad) in enumerate(classes):
+        OH = jnp.asarray(arrays[f"oh{i}"])  # [nc, CROWS, Mpad]
+        chunks = jnp.stack([
+            jax.lax.slice(pay, (s, 0), (s + Mpad, K * n_states))
+            for s in starts
+        ])  # [nc, Mpad, K*st]
+        # the default TPU matmul truncates f32 operands to bf16 (~1e-3 rel —
+        # measured 5.6e-2 sigma error at line cores); HIGH (bf16x3) is
+        # enough here: with exact-0/1 multipliers the only residual is the
+        # payload's double-bf16-split remainder, ~2^-18 rel of the placed
+        # correction (HIGHEST costs 7x for the last ~1.5 digits)
+        oc = jnp.einsum("cim,cmk->cik", OH, chunks,
+                        precision=jax.lax.Precision.HIGH)
+        rows = rows.at[jnp.asarray(ids, jnp.int32)].set(oc)
+    # [CH, CROWS, K, st] -> [points, st] is a free reshape; one final 2D
+    # transpose puts states back on rows
+    out = rows.reshape(CH * _STENCIL_CROWS * K, n_states).T
+    return out[:, :n_nu]
+
+
 def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
                        nu_blocks_hi, nu_blocks_lo, start, count,
                        lines, T, P, Pp, conc, strategy="auto", lgroup=8,
-                       limit=None):
+                       limit=None, stencil_meta=None, stencil_arrays=None):
     """Shared traced implementation behind both plan representations.
 
     ``cut/B/n_blocks/slab/n_nu`` are python statics; the per-block arrays
@@ -1003,8 +1284,10 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
     # ceil(cnt/8)*8 lines instead of ceil(cnt/128)*128, and sparse spectral
     # regions dominate real catalogs. strategy='lane' keeps the lane-major
     # variant for A/B comparisons.
+    stencil = (strategy == "stencil" and shape in _SPLIT_SHAPES
+               and stencil_meta is not None)
     if (
-        strategy in ("auto", "grouped", "nosplit")
+        strategy in ("auto", "grouped", "nosplit", "stencil")
         and resident_bytes <= limit
     ):
         Pk, n_params = _grouped_pack(
@@ -1018,7 +1301,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
         # from a traced searchsorted against the block edges (conservative
         # 0.01 cm^-1 margin swallows f32 position rounding — membership is
         # decided exactly in-kernel by the |dnu| <=/> d_near masks).
-        if use_split:
+        if use_split and not stencil:
             # exclude padding lines (nu sentinel 1e30 — the sharded path's
             # slabs arrive pre-padded): their Doppler width alpha ~ nu/c is
             # astronomically large and would clamp d_near to cut, silently
@@ -1050,13 +1333,19 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
             raise ValueError(f"lgroup must divide {CHUNK} and be a multiple of 8, got {lgroup}")
         kern = partial(
             _kernel_resident_grouped, shape, float(cut), n_states, n_params,
-            use_split, lgroup, pret, None,
+            use_split, lgroup, pret, ("farall",) if stencil else None,
         )
         full = _grouped_call(
             kern, nu_blocks, nu_blocks_lo, Pk, scal, dnear_op, T2,
             n_states, B, n_blocks, pret, n_params, interpret,
         )
-        return full[:, :n_nu]
+        out = full[:, :n_nu]
+        if stencil:
+            out = out + _stencil_apply(
+                shape, stencil_meta, stencil_arrays, S, alpha, gamma,
+                T, float(cut), n_nu,
+            )
+        return out
 
     if (
         strategy == "lane"
@@ -1160,8 +1449,78 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
 @partial(
     jax.jit,
     static_argnames=("plan", "shape", "interpret", "strategy", "lgroup",
-                     "resident_limit"),
+                     "resident_limit", "stencil_meta"),
 )
+def _sigma_from_lines_pallas_jit(
+    plan: LineWindowPlan,
+    lines,
+    T,
+    P,
+    Pp,
+    shape: str = "voigt",
+    interpret: bool = False,
+    conc=None,
+    strategy: str = "auto",
+    lgroup: int = 8,
+    resident_limit: int | None = None,
+    stencil_meta=None,
+    stencil_arrays=None,
+):
+    limit = _RESIDENT_VMEM_LIMIT if resident_limit is None else int(resident_limit)
+    if strategy == "auto" and shape.startswith("phco2"):
+        # phco2 auto-routes through the coarse-far split where the geometry
+        # accepts: the sub-Lorentzian chi factor suppresses the far field
+        # where the split operates, so the accuracy cost is negligible
+        # (measured vs the f64 oracle at the cut=500 bench geometry:
+        # 1.9e-6 rel at sigma >= 1e-4 peak, 1.3e-3 at >= 1e-8 peak, vs the
+        # default kernel's 7e-7) for a 2.1x wall-time win (BASELINE.md).
+        strategy = "coarse"
+    if strategy == "coarse":
+        # coarse-grid far field (Ewald-style smooth split) — wins on dense
+        # grids where most in-window pairs sit far from their line; falls
+        # back to the standard grouped kernel when the geometry or VMEM
+        # budget says no (see _coarse_far_params / _pallas_sigma_coarse)
+        if shape in _SPLIT_SHAPES:
+            params = _coarse_far_params(plan)
+            if params is not None:
+                out = _pallas_sigma_coarse(
+                    shape, interpret, plan, lines, T, P, Pp, conc, lgroup,
+                    params, limit,
+                )
+                if out is not None:
+                    return out
+        strategy = "auto"
+    if strategy == "stencil" and (
+        shape not in _SPLIT_SHAPES or stencil_meta is None
+    ):
+        strategy = "auto"
+    if strategy in ("auto", "grouped", "nosplit", "stencil"):
+        n_states = jnp.atleast_1d(jnp.asarray(T)).shape[0]
+        n_lines = lines.nu.shape[0]
+        lane_cost = _grouped_lane_cost(shape, strategy, n_states)
+        if _resident_bytes_est(n_lines, plan.slab, lane_cost) > limit:
+            if strategy == "stencil":
+                # the segmented path keeps the in-kernel near/far split
+                strategy = "auto"
+            L_seg = _segment_cap(shape, strategy, n_states, limit, plan.slab)
+            if L_seg >= CHUNK and n_lines > L_seg:
+                return _pallas_sigma_segmented(
+                    shape, interpret, plan, lines, T, P, Pp, conc,
+                    strategy, lgroup, L_seg, limit=limit,
+                )
+    nb64 = np.asarray(plan.nu_blocks, np.float64)
+    nb_hi = nb64.astype(np.float32)
+    return _pallas_sigma_impl(
+        shape, interpret, float(plan.cut), plan.block, plan.n_blocks,
+        plan.slab, plan.n_nu,
+        jnp.asarray(nb_hi),
+        jnp.asarray((nb64 - nb_hi.astype(np.float64)).astype(np.float32)),
+        jnp.asarray(plan.start, jnp.int32), jnp.asarray(plan.count, jnp.int32),
+        lines, T, P, Pp, conc, strategy=strategy, lgroup=lgroup, limit=limit,
+        stencil_meta=stencil_meta, stencil_arrays=stencil_arrays,
+    )
+
+
 def sigma_from_lines_pallas(
     plan: LineWindowPlan,
     lines,
@@ -1187,53 +1546,48 @@ def sigma_from_lines_pallas(
     same grouped kernel over its intersecting block range (overlapping
     outputs summed) — full-HITRAN-scale line lists keep near-resident
     throughput. ``strategy="gathered"`` forces the XLA-gathered per-block
-    slab fallback (A/B baseline); ``resident_limit`` overrides the VMEM
+    slab fallback (A/B baseline); ``strategy="stencil"`` replaces the
+    in-kernel near sweep with an XLA stencil correction (see
+    `_stencil_near_correction`); ``resident_limit`` overrides the VMEM
     budget (testing).
+
+    This thin wrapper resolves the stencil geometry *before* the jit
+    boundary, so a top-level call with concrete line data builds (and
+    caches on the plan) the static window/placement tables
+    (`_build_stencil_geom`); inside an outer jit the cached geometry is
+    reused, or the strategy falls back to the in-kernel split when no
+    concrete build has happened.
     """
-    limit = _RESIDENT_VMEM_LIMIT if resident_limit is None else int(resident_limit)
-    if strategy == "auto" and shape.startswith("phco2"):
-        # phco2 auto-routes through the coarse-far split where the geometry
-        # accepts: the sub-Lorentzian chi factor suppresses the far field
-        # where the split operates, so the accuracy cost is negligible
-        # (measured vs the f64 oracle at the cut=500 bench geometry:
-        # 1.9e-6 rel at sigma >= 1e-4 peak, 1.3e-3 at >= 1e-8 peak, vs the
-        # default kernel's 7e-7) for a 2.1x wall-time win (BASELINE.md).
-        strategy = "coarse"
-    if strategy == "coarse":
-        # coarse-grid far field (Ewald-style smooth split) — wins on dense
-        # grids where most in-window pairs sit far from their line; falls
-        # back to the standard grouped kernel when the geometry or VMEM
-        # budget says no (see _coarse_far_params / _pallas_sigma_coarse)
-        if shape in _SPLIT_SHAPES:
-            params = _coarse_far_params(plan)
-            if params is not None:
-                out = _pallas_sigma_coarse(
-                    shape, interpret, plan, lines, T, P, Pp, conc, lgroup,
-                    params, limit,
-                )
-                if out is not None:
-                    return out
+    stencil_meta = stencil_arrays = None
+    if (strategy == "coarse" and shape in ("voigt", "voigt_ref")
+            and _coarse_far_params(plan) is None):
+        # statically-rejected coarse geometry: fall back through the same
+        # auto-routing a plain "auto" call gets (stencil where it accepts)
         strategy = "auto"
-    if strategy in ("auto", "grouped", "nosplit"):
-        n_states = jnp.atleast_1d(jnp.asarray(T)).shape[0]
-        n_lines = lines.nu.shape[0]
-        lane_cost = _grouped_lane_cost(shape, strategy, n_states)
-        if _resident_bytes_est(n_lines, plan.slab, lane_cost) > limit:
-            L_seg = _segment_cap(shape, strategy, n_states, limit, plan.slab)
-            if L_seg >= CHUNK and n_lines > L_seg:
-                return _pallas_sigma_segmented(
-                    shape, interpret, plan, lines, T, P, Pp, conc,
-                    strategy, lgroup, L_seg, limit=limit,
-                )
-    nb64 = np.asarray(plan.nu_blocks, np.float64)
-    nb_hi = nb64.astype(np.float32)
-    return _pallas_sigma_impl(
-        shape, interpret, float(plan.cut), plan.block, plan.n_blocks,
-        plan.slab, plan.n_nu,
-        jnp.asarray(nb_hi),
-        jnp.asarray((nb64 - nb_hi.astype(np.float64)).astype(np.float32)),
-        jnp.asarray(plan.start, jnp.int32), jnp.asarray(plan.count, jnp.int32),
-        lines, T, P, Pp, conc, strategy=strategy, lgroup=lgroup, limit=limit,
+    if strategy == "auto" and shape in ("voigt", "voigt_ref"):
+        # auto-routing: the stencil-near strategy replaces the in-kernel
+        # near sweep (~63% of the split kernel's wall on the CO2 bench;
+        # measured 1.87x at 131072 pts, 3.1x at 16384) whenever the static
+        # geometry accepts and the catalog is VMEM-resident (the segmented
+        # path keeps the in-kernel split). phco2 stays on its coarse-far
+        # auto route (decided inside the jit body).
+        n_states_est = int(np.prod(np.shape(T))) or 1
+        n_lines = int(lines.nu.shape[0])
+        limit = _RESIDENT_VMEM_LIMIT if resident_limit is None else int(resident_limit)
+        lane_cost = _grouped_lane_cost(shape, "stencil", n_states_est)
+        if _resident_bytes_est(n_lines, plan.slab, lane_cost) <= limit:
+            geom = _stencil_geom_cached(plan, lines)
+            if geom is not None:
+                strategy = "stencil"
+    if strategy == "stencil" and shape in _SPLIT_SHAPES:
+        geom = _stencil_geom_cached(plan, lines)
+        if geom is not None:
+            stencil_meta, arrays_np = geom
+            stencil_arrays = {k: jnp.asarray(v) for k, v in arrays_np.items()}
+    return _sigma_from_lines_pallas_jit(
+        plan, lines, T, P, Pp, shape=shape, interpret=interpret, conc=conc,
+        strategy=strategy, lgroup=lgroup, resident_limit=resident_limit,
+        stencil_meta=stencil_meta, stencil_arrays=stencil_arrays,
     )
 
 

@@ -55,7 +55,7 @@ def test_split_matches_nosplit(co2, shape, cut):
     T = jnp.asarray([200.0, 300.0])
     P = jnp.asarray([10.0, 9e4])  # low P: small y (repair region); high P: large y
     a = np.asarray(sigma_from_lines_pallas(
-        plan, co2, T, P, 0.5 * P, shape, interpret=True, strategy="auto"))
+        plan, co2, T, P, 0.5 * P, shape, interpret=True, strategy="grouped"))
     b = np.asarray(sigma_from_lines_pallas(
         plan, co2, T, P, 0.5 * P, shape, interpret=True, strategy="nosplit"))
     m = np.abs(b) > 1e-35
@@ -358,3 +358,130 @@ def test_phco2_auto_routes_through_coarse(co2_full):
     b = np.asarray(sigma_from_lines_pallas(
         plan, co2_full, T, P, P, "phco2", interpret=True, strategy="coarse"))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("shape,cut", [
+    ("voigt", 25.0), ("voigt_ref", 25.0), ("phco2", 500.0),
+])
+def test_stencil_strategy_matches_oracle(co2, shape, cut):
+    """strategy='stencil' (region-1 whole-window kernel + XLA near-core
+    correction, see _stencil_near_correction) must hold the same accuracy
+    bar as the default near/far split against the f64 oracle."""
+    nu = np.linspace(610.0, 780.0, 1024)
+    plan = build_line_window_plan(nu, np.asarray(co2.nu), cut, block=128)
+    T = jnp.asarray([200.0, 300.0])
+    P = jnp.asarray([10.0, 9e4])  # low P: tiny y (Doppler core); high P: large y
+    Pp = 0.5 * P
+    ref = np.asarray(sigma_from_lines(plan, co2, T, P, Pp, shape))
+    out = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, Pp, shape, interpret=True, strategy="stencil"))
+    dflt = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, Pp, shape, interpret=True, strategy="auto"))
+    pk = np.abs(ref).max(axis=1, keepdims=True)
+    # absolute-of-peak bar at the default split's own level
+    bar = max(2.0 * (np.abs(dflt - ref) / pk).max(), 1e-6)
+    assert (np.abs(out - ref) / pk).max() < bar
+    # relative bar at significant sigma (line cores — where the stencil acts)
+    m = np.abs(ref) > 1e-2 * pk
+    np.testing.assert_allclose(out[m], ref[m], rtol=2e-3, atol=0.0)
+    # no spurious opacity off-window
+    m0 = np.abs(ref) > 1e-35
+    assert np.all(np.abs(out[~m0]) < 1e-30)
+
+
+def test_stencil_width_covers_near_zone(co2):
+    """_stencil_width's static K must cover |x| <= 15 at any in-domain T:
+    K/2 grid steps must reach 15*alpha(T=1000K) for every line within the
+    plan's reach (lines beyond the cut never contribute)."""
+    from clearsky_tpu.ops.linesum_pallas import _stencil_width, _SQRT_LN2
+    from clearsky_tpu.ops.lineshape import alpha_doppler
+    nu = np.linspace(610.0, 780.0, 2048)
+    plan = build_line_window_plan(nu, np.asarray(co2.nu), 25.0, block=128)
+    K = _stencil_width(plan, co2)
+    nu_l = np.asarray(co2.nu)
+    m = (nu_l >= nu[0] - 25.0) & (nu_l <= nu[-1] + 25.0)
+    amax = float(np.asarray(alpha_doppler(
+        jnp.asarray(nu_l[m]), jnp.asarray(np.asarray(co2.mu)[m]), 1000.0
+    )).max())
+    dmax = float(np.diff(nu).max())
+    assert (K // 2) * dmax >= 15.0 * amax / _SQRT_LN2
+    # traced lines (inside an outer jit): the fallback bound must be at
+    # least as wide
+    import jax
+
+    def probe(l):
+        return _stencil_width(plan, l)
+
+    K_traced = []
+    jax.make_jaxpr(lambda n, m: K_traced.append(
+        _stencil_width(plan, type("L", (), {"nu": n, "mu": m})())
+    ) or n)(jnp.asarray(co2.nu), jnp.asarray(co2.mu))
+    assert K_traced[0] >= K
+
+
+def test_stencil_edge_line_clamped(co2):
+    """Lines whose stencil would run off the grid edge keep full accuracy
+    (the base index clamps into range; coverage comes from the clip)."""
+    nu_l = np.asarray(co2.nu)
+    # grid starting ON a line so the first lines sit at the left edge
+    nu = np.linspace(nu_l[0], nu_l[0] + 80.0, 512)
+    plan = build_line_window_plan(nu, nu_l, 25.0, block=128)
+    T = jnp.asarray([250.0])
+    P = jnp.asarray([1e4])
+    ref = np.asarray(sigma_from_lines(plan, co2, T, P, P, "voigt"))
+    out = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, P, "voigt", interpret=True, strategy="stencil"))
+    pk = np.abs(ref).max()
+    m = np.abs(ref) > 1e-2 * pk
+    np.testing.assert_allclose(out[m], ref[m], rtol=2e-3, atol=0.0)
+
+
+def test_stencil_non_split_shape_falls_back(co2):
+    """strategy='stencil' on a non-Voigt-family shape silently routes to
+    the standard kernel (no farall mode exists for single-sweep shapes)."""
+    nu = np.linspace(610.0, 700.0, 256)
+    plan = build_line_window_plan(nu, np.asarray(co2.nu), 25.0, block=128)
+    T = jnp.asarray([250.0])
+    P = jnp.asarray([1e4])
+    a = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, P, "lorentz", interpret=True, strategy="stencil"))
+    b = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, P, "lorentz", interpret=True, strategy="auto"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_stencil_oversize_catalog_falls_back_to_segmented(co2):
+    """A catalog too large for VMEM under strategy='stencil' must take the
+    segmented path (which keeps the in-kernel split) and stay correct."""
+    nu = np.linspace(610.0, 780.0, 512)
+    plan = build_line_window_plan(nu, np.asarray(co2.nu), 25.0, block=128)
+    T = jnp.asarray([250.0])
+    P = jnp.asarray([1e4])
+    ref = np.asarray(sigma_from_lines(plan, co2, T, P, P, "voigt"))
+    out = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, P, "voigt", interpret=True, strategy="stencil",
+        resident_limit=64 * 1024))
+    m = np.abs(ref) > 1e-35
+    np.testing.assert_allclose(out[m], ref[m], rtol=2e-3, atol=1e-32)
+
+
+def test_voigt_auto_routes_through_stencil(co2):
+    """On an accepting geometry, plain strategy='auto' voigt must produce
+    EXACTLY the stencil path's output (the auto-routing contract), and the
+    in-kernel split must remain reachable via strategy='grouped'."""
+    nu = np.linspace(610.0, 780.0, 1024)
+    plan = build_line_window_plan(nu, np.asarray(co2.nu), 25.0, block=128)
+    T = jnp.asarray([250.0])
+    P = jnp.asarray([1e4])
+    a = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, P, "voigt", interpret=True))
+    b = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, P, "voigt", interpret=True, strategy="stencil"))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(sigma_from_lines_pallas(
+        plan, co2, T, P, P, "voigt", interpret=True, strategy="grouped"))
+    assert not np.array_equal(a, c)  # a genuinely different compute path
+    ref = np.asarray(sigma_from_lines(plan, co2, T, P, P, "voigt"))
+    pk = np.abs(ref).max()
+    m = np.abs(ref) > 1e-4 * pk
+    np.testing.assert_allclose(a[m], ref[m], rtol=2e-3, atol=0.0)
