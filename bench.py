@@ -317,8 +317,12 @@ def main():
     try:
         from clearsky_tpu.utils.profiling import split_roofline_report
 
+        from clearsky_tpu.ops.linesum_pallas import _stencil_geom_cached
+
+        geom = _stencil_geom_cached(plan, lines)
         rep = split_roofline_report(
-            plan, np.asarray(lines.nu), _d_near(lines), N_STATES, per_call
+            plan, np.asarray(lines.nu), _d_near(lines), N_STATES, per_call,
+            stencil_k=None if geom is None else geom[0][0],
         )
         rec["fraction_of_roof"] = rep["fraction_of_roof"]
         rec["useful_over_dense"] = rep["useful_over_dense"]

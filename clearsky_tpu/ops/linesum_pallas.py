@@ -451,6 +451,25 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
         # Because the XLA pass adds a *correction*, mask-boundary rounding
         # between the two passes costs at most the region-1 error itself.
         acc = sweep(start, cnt, tile_far, lambda adnu: adnu <= cut, acc0)
+    elif wmode is not None and wmode[0] == "fine_stencil":
+        # coarse-far fine pass, stencil-near variant: the (1-W)-weighted
+        # region-1 mid sweep rides the whole <= cutF window (no near hole,
+        # no in-kernel w4 sweep); the XLA stencil pass adds the
+        # (1-W)-weighted w4-r1 near-core correction (_stencil_apply with
+        # weight=(D1, D2)). Annulus slabs keep the hard cut exact.
+        _, D1, D2, R1, R2, cutF = wmode
+        one_minus_w = lambda D: 1.0 - _smoothstep_d2(D, D1, D2)
+        acc = sweep(
+            start, cnt, tile_far,
+            lambda adnu: adnu <= cutF, acc0,
+            wfn=one_minus_w,
+        )
+        ann_mask = lambda adnu: (adnu <= cut) & (adnu * adnu > R1)
+        ann_w = lambda D: _smoothstep_d2(D, R1, R2)
+        acc = sweep(scal_ref[b, 4], scal_ref[b, 5], tile_far, ann_mask, acc,
+                    wfn=ann_w)
+        acc = sweep(scal_ref[b, 6], scal_ref[b, 7], tile_far, ann_mask, acc,
+                    wfn=ann_w)
     elif wmode is not None and wmode[0] == "coarse":
         # coarse-far split, coarse pass: one region-1 sweep of the whole
         # window weighted by W*Wout (smooth in nu, so the result can be
@@ -786,10 +805,14 @@ def _pallas_sigma_coarse(shape, interpret, plan, lines, T, P, Pp, conc,
         u = (nu_f - nu_c0) / h
         j = np.clip(np.floor(u).astype(np.int64), 1, n_cc - 3)
         interp_static = (j, _cr_weights((u - j).astype(np.float64)))
+    # stencil-near fine pass where the geometry accepts (coarse spacing vs
+    # alpha, see _build_stencil_geom — dense line-resolving grids reject)
+    stencil_geom = _stencil_geom_cached(plan, lines)
     return _coarse_core(
         shape, interpret, lgroup, float(plan.cut), plan.n_nu,
         (d_far, h, n_cc, c_ratio), lines, T, P, Pp, conc,
         *blocks_f32(fnb64), *blocks_f32(cnb64), interp_static,
+        stencil_geom=stencil_geom,
     )
 
 
@@ -829,7 +852,8 @@ def _cr_weights(t):
 
 
 def _coarse_core(shape, interpret, lgroup, cut, n_nu, meta, lines, T, P, Pp,
-                 conc, fnb, fnb_lo, cnb, cnb_lo, interp_static=None):
+                 conc, fnb, fnb_lo, cnb, cnb_lo, interp_static=None,
+                 stencil_geom=None):
     """Shared traced core of the coarse-far split.
 
     ``fnb``/``cnb`` (+_lo): [n_blocks, 1, B]-shaped two-float block grids —
@@ -904,18 +928,28 @@ def _coarse_core(shape, interpret, lgroup, cut, n_nu, meta, lines, T, P, Pp,
     # annulus slabs: lines whose [cut-w_roll, cut] shell reaches the block
     sL, cL = win(fnb, -cut - 0.01, -cut + w_roll + 0.01)
     sR, cR = win(fnb, cut - w_roll - 0.01, cut + 0.01)
+    if stencil_geom is not None:
+        start2 = jnp.zeros_like(startF)
+        cnt2 = jnp.zeros_like(cntF)
     scalF = jnp.stack(
         [startF, cntF, start2, cnt2, sL, cL, sR, cR], axis=1
     )
     dnear_op = d_near.reshape(1, 1)
+    fmode = "fine_stencil" if stencil_geom is not None else "fine"
     kernF = partial(
         _kernel_resident_grouped, shape, cut, n_states, n_params,
-        True, lgroup, pret, ("fine", D1, D2, R1, R2, 2.0 * d_far),
+        True, lgroup, pret, (fmode, D1, D2, R1, R2, 2.0 * d_far),
     )
     fine = _grouped_call(
         kernF, fnb, fnb_lo, Pk, scalF, dnear_op, T2,
         n_states, Bf, n_blocks_f, pret, n_params, interpret,
     )[:, :n_nu]
+    if stencil_geom is not None:
+        smeta, sarr = stencil_geom
+        fine = fine + _stencil_apply(
+            shape, smeta, {k: jnp.asarray(v) for k, v in sarr.items()},
+            S, alpha, gamma, T, cut, n_nu, weight=(D1, D2),
+        )
 
     # --- coarse pass: W * Wout weighted region-1 far field -----------------
     startC, cntC = win(cnb, -cut - 0.01, cut + 0.01)
@@ -1149,7 +1183,8 @@ def _stencil_geom_cached(plan: LineWindowPlan, lines):
     return geom
 
 
-def _stencil_apply(shape, meta, arrays, S, alpha, gamma, T, cut, n_nu):
+def _stencil_apply(shape, meta, arrays, S, alpha, gamma, T, cut, n_nu,
+                   weight=None):
     """XLA-side near-core correction for the stencil-near strategy.
 
     The grouped kernel's `farall` mode accumulates the slim Humlicek
@@ -1197,6 +1232,14 @@ def _stencil_apply(shape, meta, arrays, S, alpha, gamma, T, cut, n_nu):
     d2 = br * br + t2i * t2i
     wr1 = 0.5641896 * (y * br - x * t2i) / d2
     corr = Sia[None] * (w4 - wr1)
+    if weight is not None:
+        # coarse-far fine pass: the near correction carries the same
+        # 1 - W(dnu^2) switch weight as the kernel's mid sweep, so lines
+        # whose |x| <= 15 core reaches into the switch ramp (or past it,
+        # where the coarse field holds the full far term) stay exact
+        D1, D2 = weight
+        dD = dnu_hi + dnu_lo
+        corr = corr * (1.0 - _smoothstep_d2(dD * dD, D1, D2))[:, None, :]
     mask = (x * x <= 225.0) & (jnp.abs(dnu_hi) <= cut)[:, None, :]
     corr = jnp.where(mask, corr, 0.0)  # [2K, st, L]
     # payload rows e = 2l + part: part 0 -> output row q_l (window cols
@@ -1559,6 +1602,11 @@ def sigma_from_lines_pallas(
     concrete build has happened.
     """
     stencil_meta = stencil_arrays = None
+    if shape in _SPLIT_SHAPES:
+        # opportunistic warm while line data is concrete: the jit body
+        # (incl. the coarse fine pass) sees traced catalogs and can only
+        # use a geometry already cached on the plan
+        _stencil_geom_cached(plan, lines)
     if (strategy == "coarse" and shape in ("voigt", "voigt_ref")
             and _coarse_far_params(plan) is None):
         # statically-rejected coarse geometry: fall back through the same

@@ -115,6 +115,7 @@ def linesum_cost_split(
     n_states: int,
     lgroup: int = 8,
     dtype_bytes: int = 4,
+    stencil_k: int | None = None,
 ) -> "SplitKernelCost":
     """Cost model of the near/far-split sublane-grouped kernel (the default
     TPU strategy in ``ops.linesum_pallas``).
@@ -133,13 +134,21 @@ def linesum_cost_split(
     nu_lines = np.asarray(nu_lines, dtype=np.float64)
     counts = np.asarray(plan.count, dtype=np.int64)
     walked_far = (np.ceil(counts / lgroup) * lgroup).astype(np.int64)
-    lo2 = np.searchsorted(nu_lines, plan.nu_blocks[:, 0] - d_near, side="left")
-    hi2 = np.searchsorted(nu_lines, plan.nu_blocks[:, -1] + d_near, side="right")
-    cnt2 = (hi2 - lo2).astype(np.int64)
-    walked_near = (np.ceil(cnt2 / lgroup) * lgroup).astype(np.int64)
     B = plan.block
     dense_far = int(walked_far.sum()) * B * n_states
-    dense_near = int(walked_near.sum()) * B * n_states
+    if stencil_k:
+        # stencil-near strategy (auto-routed for voigt): the near w4 work
+        # is an XLA pass over each line's 2K-point window — no in-kernel
+        # near sweep, no block-span amplification
+        dense_near = len(nu_lines) * 2 * int(stencil_k) * n_states
+    else:
+        lo2 = np.searchsorted(nu_lines, plan.nu_blocks[:, 0] - d_near,
+                              side="left")
+        hi2 = np.searchsorted(nu_lines, plan.nu_blocks[:, -1] + d_near,
+                              side="right")
+        cnt2 = (hi2 - lo2).astype(np.int64)
+        walked_near = (np.ceil(cnt2 / lgroup) * lgroup).astype(np.int64)
+        dense_near = int(walked_near.sum()) * B * n_states
     # exact per-point useful pair count (the north-star eval definition)
     lo = np.searchsorted(nu_lines, plan.nu - plan.cut, side="left")
     hi = np.searchsorted(nu_lines, plan.nu + plan.cut, side="right")
@@ -167,7 +176,7 @@ class SplitKernelCost(KernelCost):
 
 def split_roofline_report(
     plan, nu_lines, d_near: float, n_states: int, seconds: float,
-    chip: str = "v5e", lgroup: int = 8,
+    chip: str = "v5e", lgroup: int = 8, stencil_k: int | None = None,
 ) -> dict:
     """Roofline context for the near/far-split kernel from a measured run.
 
@@ -176,7 +185,8 @@ def split_roofline_report(
     per-eval op counts are engineering estimates, treat the fraction as a
     scale ("is there 2x on the table?"), not a percentage-point claim.
     """
-    cost = linesum_cost_split(plan, nu_lines, d_near, n_states, lgroup=lgroup)
+    cost = linesum_cost_split(plan, nu_lines, d_near, n_states, lgroup=lgroup,
+                              stencil_k=stencil_k)
     peak_flops, peak_bw = CHIP_PEAKS[chip]
     achieved = cost.flops / seconds
     roof = min(peak_flops, peak_bw * cost.intensity)

@@ -485,3 +485,62 @@ def test_voigt_auto_routes_through_stencil(co2):
     pk = np.abs(ref).max()
     m = np.abs(ref) > 1e-4 * pk
     np.testing.assert_allclose(a[m], ref[m], rtol=2e-3, atol=0.0)
+
+
+def test_coarse_fine_pass_stencil(co2_full):
+    """On a geometry both the coarse split and the stencil accept, the
+    coarse fine pass auto-routes its near sweep through the stencil
+    correction (weight 1-W). Gate: agreement with the f64 oracle at the
+    coarse path's own accuracy class, and with the in-kernel fine pass."""
+    from clearsky_tpu.ops import linesum_pallas as LP
+
+    nu_l = np.asarray(co2_full.nu)
+    nu = np.arange(600.0, 2500.0, 0.11)  # bench-like spacing
+    plan = build_line_window_plan(nu, nu_l, 500.0, block=128)
+    assert LP._coarse_far_params(plan) is not None
+    geom = LP._stencil_geom_cached(plan, co2_full)
+    assert geom is not None  # stencil accepts -> fine pass auto-routes
+    T = jnp.asarray([220.0, 300.0])
+    P = jnp.asarray([10.0, 9e4])
+    ref = np.asarray(sigma_from_lines(plan, co2_full, T, P, 0.5 * P, "phco2"))
+    out = np.asarray(sigma_from_lines_pallas(
+        plan, co2_full, T, P, 0.5 * P, "phco2", interpret=True,
+        strategy="coarse"))
+    pk = np.abs(ref).max(axis=1, keepdims=True)
+    m = np.abs(ref) > 1e-4 * pk
+    rel = (np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300))[m].max()
+    assert rel < 2e-3, rel
+    # vs the in-kernel fine pass (stencil geometry suppressed)
+    old = LP._coarse_core(
+        "phco2", True, 8, float(plan.cut), plan.n_nu,
+        LP._coarse_far_params(plan), co2_full, T, P, 0.5 * P, None,
+        *_coarse_blocks(plan), stencil_geom=None,
+    )
+    relo = (np.abs(out - np.asarray(old)) / np.maximum(np.abs(ref), 1e-300))[m].max()
+    assert relo < 2e-4, relo
+
+
+def _coarse_blocks(plan):
+    """Rebuild the coarse wrapper's block grids (test helper mirroring
+    _pallas_sigma_coarse's host-side setup)."""
+    from clearsky_tpu.ops import linesum_pallas as LP
+
+    d_far, h, n_cc, c_ratio = LP._coarse_far_params(plan)
+    nu_f = np.asarray(plan.nu, np.float64)
+    B = plan.block
+    Bf = LP._fine_block("phco2", plan.n_nu, B)
+    n_blocks_f = -(-plan.n_nu // Bf)
+    pad_f = np.full(n_blocks_f * Bf - plan.n_nu, nu_f[-1])
+    fnb64 = np.concatenate([nu_f, pad_f]).reshape(n_blocks_f, Bf)
+    nu_c0 = nu_f[0] - 2.0 * h
+    n_blocks_c = -(-n_cc // B)
+    pad_c = np.full(n_blocks_c * B - n_cc, nu_c0 + (n_cc - 1) * h)
+    cnb64 = np.concatenate(
+        [nu_c0 + np.arange(n_cc) * h, pad_c]).reshape(n_blocks_c, B)
+
+    def blocks_f32(nb64):
+        nb_hi = nb64.astype(np.float32)
+        nb_lo = (nb64 - nb_hi.astype(np.float64)).astype(np.float32)
+        return jnp.asarray(nb_hi)[:, None, :], jnp.asarray(nb_lo)[:, None, :]
+
+    return (*blocks_f32(fnb64), *blocks_f32(cnb64))
