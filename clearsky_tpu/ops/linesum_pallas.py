@@ -287,7 +287,12 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
     LG = lgroup
     ia_pack = shape in _SPLIT_SHAPES
     voigt_far = split and shape in ("voigt", "voigt_ref")
-    stride = 7 if voigt_far else 3
+    # farall (stencil-near) voigt never runs the w4 tile, so its pack
+    # carries only the 4 far coefficients (slim pack, see _grouped_pack)
+    slim = (voigt_far and wmode is not None and wmode[0] == "farall"
+            and n_params == 4 * n_states + 2)
+    stride = (4 if slim else 7) if voigt_far else 3
+    far_off = 0 if slim else 3
     is_phco2 = shape.startswith("phco2")
     # per-state accumulators as a tuple carry: .at[...].add on a stacked
     # array lowers to scatter-add, which Mosaic does not implement
@@ -330,11 +335,11 @@ def _kernel_resident_grouped(shape, cut, n_states, n_params, split, lgroup,
         if voigt_far:
             D = dnu * dnu                      # shared across states
             for st in range(n_states):
-                b0 = 2 + 7 * st
-                A = rows[:, b0 + 3 : b0 + 4]
-                c1 = rows[:, b0 + 4 : b0 + 5]
-                c2 = rows[:, b0 + 5 : b0 + 6]
-                k2 = rows[:, b0 + 6 : b0 + 7]
+                b0 = 2 + stride * st + far_off
+                A = rows[:, b0 : b0 + 1]
+                c1 = rows[:, b0 + 1 : b0 + 2]
+                c2 = rows[:, b0 + 2 : b0 + 3]
+                k2 = rows[:, b0 + 3 : b0 + 4]
                 m = D * A
                 br = c1 - m
                 f = (k2 * (c1 + m)) / (br * br + c2 * D)
@@ -535,16 +540,22 @@ def _grouped_pack(shape, S, alpha, gamma, nu_l, nu_l_lo, n_lines_pad,
         y0 = gamma * ia
         # pads: Sia/k2 = 0 kill padded-line contributions; the rest are
         # benign finite values (the 1e30 position sentinel masks them)
-        packed = [row(Sia, 0.0), row(ia, 1.0), row(y0, 1.0)]
-        if rows_per_state == 7:
-            A = ia * ia
-            y2 = y0 * y0
-            packed += [
-                row(A, 1.0),                        # c0: ia^2
-                row(0.5 + y2, 1.5),                 # c1
-                row(4.0 * y2 * A, 4.0),             # c2
-                row(S * gamma * A * (1.0 / np.pi), 0.0),  # k2
-            ]
+        A = ia * ia
+        y2 = y0 * y0
+        far_rows = [
+            row(A, 1.0),                        # c0: ia^2
+            row(0.5 + y2, 1.5),                 # c1
+            row(4.0 * y2 * A, 4.0),             # c2
+            row(S * gamma * A * (1.0 / np.pi), 0.0),  # k2
+        ]
+        if rows_per_state == 4:
+            # slim far-only pack (farall/stencil voigt): the w4 tile never
+            # runs, so (Sia, ia, y0) would be dead VMEM and transpose work
+            packed = far_rows
+        else:
+            packed = [row(Sia, 0.0), row(ia, 1.0), row(y0, 1.0)]
+            if rows_per_state == 7:
+                packed += far_rows
     else:
         packed = [row(S, 0.0), row(alpha, 1.0), row(gamma, 1.0)]
     rows_l = [nul_full, nul_lo_full]
@@ -609,7 +620,10 @@ def _grouped_lane_cost(shape: str, strategy: str, n_states: int) -> int:
     """
     use_split = shape in _SPLIT_SHAPES and strategy != "nosplit"
     voigt_split = use_split and shape in ("voigt", "voigt_ref")
-    n_params = (7 if voigt_split else 3) * n_states + 2
+    rows = 3
+    if voigt_split:
+        rows = 4 if strategy == "stencil" else 7  # slim far-only pack
+    n_params = rows * n_states + 2
     return n_params if voigt_split else -(-n_params // 128) * 128
 
 
@@ -1312,7 +1326,10 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
     n_lines_pad = -(-(n_lines + slab_pad + CHUNK) // 128) * 128
     use_split = shape in _SPLIT_SHAPES and strategy != "nosplit"
     voigt_split = use_split and shape in ("voigt", "voigt_ref")
-    rows_per_state = 7 if voigt_split else 3
+    stencil = (strategy == "stencil" and shape in _SPLIT_SHAPES
+               and stencil_meta is not None)
+    # farall/stencil voigt: slim far-only pack (the w4 tile never runs)
+    rows_per_state = (4 if stencil else 7) if voigt_split else 3
     # layout per shape (see _kernel_resident_grouped): split voigt keeps the
     # lane-major chunked-transpose pack; everything else pre-transposes in
     # XLA ([n_lines_pad, n_params], charging lane padding to a 128 multiple)
@@ -1327,8 +1344,6 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
     # ceil(cnt/8)*8 lines instead of ceil(cnt/128)*128, and sparse spectral
     # regions dominate real catalogs. strategy='lane' keeps the lane-major
     # variant for A/B comparisons.
-    stencil = (strategy == "stencil" and shape in _SPLIT_SHAPES
-               and stencil_meta is not None)
     if (
         strategy in ("auto", "grouped", "nosplit", "stencil")
         and resident_bytes <= limit

@@ -31,7 +31,7 @@ CO2 = "/root/reference/test/HITRAN/CO2.par"
 N_STATES = 16
 
 
-def drive(tag, lines, nu, shape, cut, strategies=("auto", "stencil")):
+def drive(tag, lines, nu, shape, cut, strategies=("grouped", "auto")):
     nu_l = np.asarray(lines.nu, np.float64)
     plan = build_line_window_plan(nu, nu_l, cut, block=128)
     K = _stencil_width(plan, lines)
@@ -74,7 +74,7 @@ def main():
 
     # bench voigt geometry: full fixture span at the bench density
     nu_bench = np.linspace(nu_l.min() - 25.0, nu_l.max() + 25.0, 131072)
-    rep["voigt_bench"] = drive("voigt-bench", lines, nu_bench, "voigt", 25.0)
+    rep["voigt_bench"] = drive("voigt-bench", lines, nu_bench, "voigt", 25.0)  # grouped (in-kernel split) vs auto (stencil-routed)
 
     # RCE-class coarse grid
     nu_rce = np.linspace(nu_l.min() - 25.0, nu_l.max() + 25.0, 16384)
