@@ -73,6 +73,16 @@ class Radau:
     Schwarzschild integration (see ``rt.radau``). ``nlevels`` sets the
     internal opacity-cache resolution for non-accelerated absorber stacks
     (0 = an AcceleratedAbsorber's own grid, else 256 omega-spaced points).
+
+    **Role: error-controlled cross-checks, not production loops.** On TPU a
+    heating evaluation costs ~2645 ms vs 0.107 ms for the discretized core
+    at the same config (BASELINE.md round 3): every lane in the batched
+    ``lax.while_loop`` pays for the stiffest lane's step count (measured
+    lane divergence up to ~70x mean). Use it to validate a configuration
+    against an independent integrator with an explicit error tolerance; for
+    production accuracy needs, refine the grid instead via ``RadauEq`` or a
+    larger ``radmul`` — the discretized core converges under refinement
+    (tests/test_rce_oracle.py: radmul 2->4 error ratio 0.31).
     """
 
     nstream: int = 5
