@@ -208,6 +208,30 @@ def bake_sigma_grid(
     return sigma
 
 
+# Per-column dynamic-range clip applied to ln(sigma) before the Chebyshev
+# fit: ln is floored at max(column max - LN_CLIP, LN_F32_FLOOR), i.e. values
+# below 1e-20 of the column's own peak — and in every case values below the
+# f32 underflow boundary — are flattened to that floor. DELIBERATE DEVIATION
+# from the reference, which floors at the absolute log(floatmin)
+# (ref gases.jl:75-82): a mixed-precision robustness guard, NOT the fix for
+# the round-4 production table tail (that was the bf16-truncated default
+# matmul, see raw_sigma below and utils/interp.cheb2d_coeffs). Under an f32
+# bake, far-wing sigma that underflows to 0 at cold/low-P corner nodes
+# would otherwise be floored at log(floatmin), and a -708-vs--40 cliff
+# makes the GLOBAL Chebyshev fit of that column ring across the whole
+# (T, P) domain. Clipping at 1e-20 of the column peak bounds the fit's
+# dynamic range while distorting only values >= 12 decades below radiative
+# relevance (the error masks use 1e-8 of peak); the LN_F32_FLOOR leg keeps
+# the floor AT the underflow boundary for weak columns, so f32-zeroed nodes
+# land near their true (sub-underflow) values instead of 600+ log units
+# away. All-zero columns are unaffected (flat at log(floatmin), as
+# upstream). Measured effect on the production worst columns: none (their
+# node ranges span only 5-7 decades); kept as armor for colder/lower-P
+# domains where corner underflow is real.
+LN_CLIP = float(np.log(1e20))
+LN_F32_FLOOR = float(np.log(np.finfo(np.float32).tiny))  # ~ -87.34
+
+
 def _ln_sigma_coeffs_device(sigma, domain: AtmosphericDomain):
     """Device-resident twin of :func:`_ln_sigma_coeffs`: same log floors and
     all-zero handling, but jnp end to end (one jit, no host transfer)."""
@@ -217,7 +241,11 @@ def _ln_sigma_coeffs_device(sigma, domain: AtmosphericDomain):
         tiny = jnp.finfo(sig.dtype).tiny
         ln = jnp.where(sig > 0.0, jnp.log(jnp.maximum(sig, tiny)), _LOG_TINY)
         allzero = (sig <= tiny).all(axis=(0, 1))
-        ln = jnp.where(allzero[None, None, :], _LOG_TINY, ln)
+        floor = jnp.maximum(
+            ln.max(axis=(0, 1), keepdims=True) - LN_CLIP, LN_F32_FLOOR
+        )
+        ln = jnp.where(allzero[None, None, :], _LOG_TINY,
+                       jnp.maximum(ln, floor))
         coeffs = cheb2d_coeffs(jnp.moveaxis(ln, -1, 0))  # [n_nu, nT, nP]
         nT, nP = sig.shape[0], sig.shape[1]
         return jnp.moveaxis(coeffs.reshape(-1, nT * nP), 0, -1)
@@ -229,10 +257,13 @@ def _ln_sigma_coeffs(sigma: np.ndarray, domain: AtmosphericDomain) -> np.ndarray
     """Chebyshev coefficients of ln(sigma) over (T, lnP), flattened to [nT*nP, n_nu].
 
     All-zero wavenumbers are stored as the constant log(floatmin), matching the
-    reference's OpacityTable (ref gases.jl:75-82).
+    reference's OpacityTable (ref gases.jl:75-82); see LN_CLIP above for the
+    per-column dynamic-range floor (deliberate deviation, measured).
     """
     ln = np.where(sigma > 0.0, np.log(np.maximum(sigma, np.finfo(np.float64).tiny)), _LOG_TINY)
     allzero = (sigma <= np.finfo(np.float64).tiny).all(axis=(0, 1))
+    floor = np.maximum(ln.max(axis=(0, 1), keepdims=True) - LN_CLIP, LN_F32_FLOOR)
+    ln = np.maximum(ln, floor)
     ln[:, :, allzero] = _LOG_TINY
     coeffs = np.asarray(cheb2d_coeffs(jnp.asarray(np.moveaxis(ln, -1, 0))))  # [n_nu, nT, nP]
     nT, nP = sigma.shape[0], sigma.shape[1]
@@ -315,7 +346,16 @@ class Gas(AbstractGas):
         BT = cheb_basis(Tq, d.Tmin, d.Tmax, d.nT)                       # [L, nT]
         BP = cheb_basis(jnp.log(Pq), np.log(d.Pmin), np.log(d.Pmax), d.nP)  # [L, nP]
         basis = (BT[:, :, None] * BP[:, None, :]).reshape(Tq.shape[0], -1)
-        ln = basis @ self.coeffs                                        # [L, n_nu] (MXU)
+        # Precision.HIGHEST is load-bearing: the TPU's default f32 matmul
+        # truncates to bf16, and a 0.4% relative error on ln(sigma) values of
+        # magnitude ~50-90 becomes a 20-75% error in sigma after exp — the
+        # entire round-4 production-scale table tail came from this one
+        # contraction (0.754 max-rel at 2^19 -> ~1e-2, the reference's stated
+        # table-error class, scripts/table_error_diagnosis.py). The matmul is
+        # HBM-bound on the [288, n_nu] coefficient read, so the extra MXU
+        # passes are nearly free (measured: see BASELINE.md round 4).
+        ln = jnp.matmul(basis, self.coeffs,
+                        precision=jax.lax.Precision.HIGHEST)  # [L, n_nu] (MXU)
         return jnp.exp(ln).reshape(shp + (self.coeffs.shape[-1],))
 
     def reconcentrate(self, fC) -> "Gas":

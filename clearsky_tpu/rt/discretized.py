@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -31,6 +32,7 @@ from ..constants import N_AVOGADRO
 from ..ops.planck import planck
 from ..utils.quadrature import stream_nodes, lobatto_unit_nodes
 from ..utils.grids import trapz
+from .march_pallas import _one_minus_exp_neg
 
 __all__ = [
     "FluxPack",
@@ -53,6 +55,14 @@ __all__ = [
 # (exact to f32 roundoff), so no floor is needed; TAU_MIN is kept only as an
 # opt-in (`layer_tau(..., floor=True)`) for reference-parity comparisons.
 TAU_MIN = 1e-6
+
+# march-scan unroll factor: amortizes loop overhead across layers and lets
+# XLA fuse consecutive layers so the [nstream, n_nu] carry round-trips HBM
+# 4x less often. A/B'd on TPU at 2^19 points x 19 layers with 96-call chains
+# (scripts/march_unroll_ab.py; short chains are RTT-noise-dominated, see
+# CLAUDE.md): monoflux 6.8 -> 4.1 ms at unroll 4 (4.4 at 2, 4.6 at 8);
+# outgoing 1.6 -> 1.0 (0.8 fully unrolled, but mono regresses there).
+_UNROLL = 4
 
 
 class FluxPack(NamedTuple):
@@ -145,25 +155,51 @@ def path_tau(P, Tn, mun, sigman, g, m, nlobatto: int):
     return m * jnp.sum(tau, axis=0)
 
 
-def _march(tau_m, B_lo, B_hi, I0):
-    """Scan one direction through layers: I <- I*t + Be, emitting I after each layer.
+def _march(tau, m, B_lo, B_hi, I0, W=None, reverse=False):
+    """Scan one direction through layers: I <- I*t + Be.
 
-    tau_m: [L, nstream, n_nu] stream-weighted layer optical depths (in march order)
-    B_lo/B_hi: [L, n_nu] Planck at the entry/exit level of each layer (march order)
+    tau: [L, n_nu] per-layer VERTICAL optical depth. The stream slant factors
+    ``m`` [nstream] are applied INSIDE the scan body — materializing the
+    [L, nstream, n_nu] slant depths outside the scan costs ~0.8 GB of HBM
+    round-trip per march at production scale (2^19 points, 5 streams), pure
+    bandwidth waste the compiler cannot sink into the loop.
+    B_lo/B_hi: [L, n_nu] Planck at the entry/exit level of each layer.
     I0: [nstream, n_nu] initial intensity.
-    Returns stacked intensities [L, nstream, n_nu] after each layer.
+    W: optional stream quadrature weights [nstream]. When given, each step
+    emits the W-weighted hemispheric flux [n_nu] (5x less stacking traffic
+    than emitting the full intensity field); when None, nothing is stacked
+    (the caller wants only the final intensity, e.g. ``outgoing_flux``).
+    ``reverse=True`` marches from the last layer to the first (the upward
+    march) with the per-step emissions still stacked in level order — no
+    reversed copies of the inputs are materialized.
+
+    Returns (I_final [nstream, n_nu], emissions [L, n_nu] or None).
     """
 
     def step(I, xs):
-        tm, b1, b2 = xs
-        t = jnp.exp(-tm)
-        omt = -jnp.expm1(-tm)
+        tau_l, b1, b2 = xs
+        tm = tau_l[None, :] * m[:, None]
+        # ONE transcendental per stream element: the march is transcendental-
+        # bound on TPU (measured 51x over its byte roof with exp AND expm1 in
+        # the body). omt is the accuracy-critical quantity — it feeds the
+        # 0/0-prone ratio omt/tau in layer_planck (see its docstring) and
+        # MUST NOT be formed as 1 - exp(-tm) in f32 for small tm. It is
+        # computed by the series/exp split in rt.march_pallas rather than
+        # jnp.expm1 because XLA's TPU expm1 lowering is the LESS accurate
+        # option: measured 1.1e-4 max relative error near tm ~ 0.013
+        # (/tmp-class probe, round 4) vs 9e-6 for the split, whose error is
+        # bounded by the TPU exp's own ~4.6e-6 relative class above the
+        # series switch. The transmittance t = 1 - omt is safe this way
+        # around: its absolute error is ~1 ulp of 1, and t only ever
+        # multiplies the carried intensity, so the march stays at f32
+        # roundoff even for opaque layers where t's RELATIVE error is large
+        # (t ~ 1e-10 +- 6e-8 transmits nothing either way).
+        omt, t = _one_minus_exp_neg(tm)
         Be = layer_planck(b1[None, :], b2[None, :], tm, t, omt)
         I = I * t + Be
-        return I, I
+        return I, (None if W is None else W @ I)
 
-    _, Is = lax.scan(step, I0, (tau_m, B_lo, B_hi))
-    return Is
+    return lax.scan(step, I0, (tau, B_lo, B_hi), reverse=reverse, unroll=_UNROLL)
 
 
 def monoflux(tau, B, nu, S_nu, albedo_nu, theta_s, nstream: int):
@@ -181,35 +217,103 @@ def monoflux(tau, B, nu, S_nu, albedo_nu, theta_s, nstream: int):
 
     Returns (M_up, M_down): [np, n_nu].
     """
+    ctheta = jnp.cos(jnp.asarray(theta_s, dtype=tau.dtype))
+    if _march_kernel_ok(tau, nstream):
+        return _monoflux_kernel_path(tau, B, S_nu, albedo_nu, ctheta, nstream,
+                                     False)
+    return _monoflux_scan(tau, B, S_nu, albedo_nu, ctheta, nstream)
+
+
+def _monoflux_scan(tau, B, S_nu, albedo_nu, ctheta, nstream):
+    """The XLA lax.scan implementation of monoflux (the correctness oracle
+    for the march kernel, and the tangent path of its custom JVP)."""
     m, W = stream_nodes(nstream)
     m = jnp.asarray(m, dtype=tau.dtype)
     W = jnp.asarray(W, dtype=tau.dtype)
     L, n_nu = tau.shape
-    tau_m = tau[:, None, :] * m[None, :, None]  # [L, nstream, n_nu]
 
     # downward atmospheric emission (ref :282-294)
     I0 = jnp.zeros((nstream, n_nu), dtype=tau.dtype)
-    Is_down = _march(tau_m, B[:-1], B[1:], I0)  # [L, nstream, n_nu]
-    M_down_body = jnp.einsum("k,lkv->lv", W, Is_down)
+    _, M_down_body = _march(tau, m, B[:-1], B[1:], I0, W=W)  # [L, n_nu]
     M_down = jnp.concatenate([jnp.zeros((1, n_nu), tau.dtype), M_down_body], axis=0)
 
     # direct stellar beam, attenuated by exp(-tau/cos(theta_s)) (ref :299-304)
-    c = jnp.cos(jnp.asarray(theta_s, dtype=tau.dtype))
-    beam_top = c * S_nu
-    beam = beam_top[None, :] * jnp.exp(-jnp.cumsum(tau, axis=0) / c)
+    beam_top = ctheta * S_nu
+    beam = beam_top[None, :] * jnp.exp(-jnp.cumsum(tau, axis=0) / ctheta)
     M_down = M_down + jnp.concatenate([beam_top[None, :], beam], axis=0)
 
-    # Lambertian reflection + surface Planck emission, marched upward (ref :309-322)
+    # Lambertian reflection + surface Planck emission, marched upward
+    # (ref :309-322): a reverse scan from the surface layer, emissions
+    # stacked directly in level order
     I_surf = M_down[-1] * albedo_nu / jnp.pi + B[-1]  # [n_nu]
-    Is_up = _march(
-        tau_m[::-1],
-        B[1:][::-1],
-        B[:-1][::-1],
+    _, M_up_body = _march(
+        tau, m, B[1:], B[:-1],
         jnp.broadcast_to(I_surf[None, :], (nstream, n_nu)),
+        W=W, reverse=True,
     )
-    M_up_body = jnp.einsum("k,lkv->lv", W, Is_up)[::-1]
     M_up = jnp.concatenate([M_up_body, (jnp.pi * I_surf)[None, :]], axis=0)
     return M_up, M_down
+
+
+# the fused-march TPU kernel (rt.march_pallas): set False to pin the XLA
+# scan path (A/B, debugging)
+_USE_MARCH_KERNEL = True
+
+
+def _march_kernel_ok(tau, nstream: int) -> bool:
+    """Route to the fused Pallas march on TPU when the static-unroll and
+    sublane-packing bounds hold (see rt.march_pallas)."""
+    import jax as _jax
+
+    from .march_pallas import MAX_LAYERS
+
+    return (
+        _USE_MARCH_KERNEL
+        and _jax.default_backend() == "tpu"
+        and tau.ndim == 2
+        and tau.shape[0] <= MAX_LAYERS
+        and nstream <= 8
+    )
+
+
+def _monoflux_scan_pair(tau, B, S_nu, albedo_nu, ctheta, nstream, thermal_only):
+    """Scan-path twin of the kernel wrapper's (M_up, M_down) contract."""
+    if thermal_only:
+        m, W = stream_nodes(nstream)
+        m = jnp.asarray(m, dtype=tau.dtype)
+        W = jnp.asarray(W, dtype=tau.dtype)
+        n_nu = tau.shape[1]
+        I_surf = jnp.broadcast_to(B[-1][None, :], (nstream, n_nu))
+        I_toa, M_up_body = _march(tau, m, B[1:], B[:-1], I_surf, W=W,
+                                  reverse=True)
+        M_up = jnp.concatenate(
+            [M_up_body, (jnp.pi * B[-1])[None, :]], axis=0
+        )
+        return M_up, jnp.zeros_like(M_up)
+    return _monoflux_scan(tau, B, S_nu, albedo_nu, ctheta, nstream)
+
+
+from functools import partial as _partial  # noqa: E402  (local helper)
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(5, 6))
+def _monoflux_kernel_path(tau, B, S_nu, albedo_nu, ctheta, nstream,
+                          thermal_only):
+    from .march_pallas import monoflux_pallas
+
+    m, W = stream_nodes(nstream)
+    return monoflux_pallas(tau, B, S_nu, albedo_nu, ctheta, m, W,
+                           thermal_only=thermal_only)
+
+
+@_monoflux_kernel_path.defjvp
+def _monoflux_kernel_jvp(nstream, thermal_only, primals, tangents):
+    # tangents ride the XLA scan implementation — mathematically identical,
+    # and lax.scan differentiates cleanly where a Pallas kernel would need
+    # a hand-written transpose
+    fn = _partial(_monoflux_scan_pair, nstream=nstream,
+                  thermal_only=thermal_only)
+    return jax.jvp(fn, primals, tangents)
 
 
 def outgoing_flux(tau, B, nstream: int, vertical: bool = False):
@@ -233,12 +337,20 @@ def outgoing_flux(tau, B, nstream: int, vertical: bool = False):
     # inside a jit trace the dtype cast stages an op (m becomes a tracer)
     # and np.asarray(m) would raise TracerArrayConversionError
     nstream, n_nu = len(m), tau.shape[1]
+    if not vertical and _march_kernel_ok(tau, nstream):
+        z = jnp.zeros((n_nu,), dtype=tau.dtype)
+        M_up, _ = _monoflux_kernel_path(
+            tau, B, z, z, jnp.asarray(1.0, dtype=tau.dtype), nstream, True
+        )
+        return M_up[0]
     m = jnp.asarray(m, dtype=tau.dtype)
     W = jnp.asarray(W, dtype=tau.dtype)
-    tau_m = tau[:, None, :] * m[None, :, None]
     I_surf = jnp.broadcast_to(B[-1][None, :], (nstream, n_nu))
-    Is_up = _march(tau_m[::-1], B[1:][::-1], B[:-1][::-1], I_surf)
-    return jnp.einsum("k,kv->v", W, Is_up[-1])
+    # reverse scan from the surface layer; only the TOA intensity is kept,
+    # so nothing is stacked (W=None) — the round-3 version stacked the full
+    # [L, nstream, n_nu] intensity history (~0.4 GB at 2^19) to read one row
+    I_toa, _ = _march(tau, m, B[1:], B[:-1], I_surf, reverse=True)
+    return jnp.einsum("k,kv->v", W, I_toa)
 
 
 def integrate_flux(M_up, M_down, nu):

@@ -15,6 +15,7 @@ Everything here is jit/vmap-safe and shape-static.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -92,8 +93,14 @@ def cheb2d_coeffs(values, nx: int | None = None, ny: int | None = None):
     ny = values.shape[-1] if ny is None else ny
     Mx = jnp.asarray(cheb_coeff_matrix(nx), dtype=values.dtype)
     My = jnp.asarray(cheb_coeff_matrix(ny), dtype=values.dtype)
-    # C = Mx @ V @ My^T along the trailing axes
-    return jnp.einsum("ij,...jk,lk->...il", Mx, values, My)
+    # C = Mx @ V @ My^T along the trailing axes. Precision.HIGHEST: the TPU's
+    # default f32 matmul truncates operands to bf16 (8-bit mantissa) — on
+    # ln(sigma) values of magnitude ~50-90 that is a +-0.2-0.5 absolute error
+    # in ln, i.e. 20-75% in sigma after exp (the round-4 production-scale
+    # table tail, scripts/table_error_diagnosis.py). The transform is
+    # bake-time and tiny, so the 6-pass exact-f32 mode costs nothing.
+    return jnp.einsum("ij,...jk,lk->...il", Mx, values, My,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def cheb2d_eval(coeffs, x, ax: float, bx: float, y, ay: float, by: float):
@@ -108,8 +115,11 @@ def cheb2d_eval(coeffs, x, ax: float, bx: float, y, ay: float, by: float):
     nx, ny = coeffs.shape[-2], coeffs.shape[-1]
     Bx = cheb_basis(x, ax, bx, nx)  # [L, nx]
     By = cheb_basis(y, ay, by, ny)  # [L, ny]
-    # result[..., l] = Bx[l, :] @ coeffs[...] @ By[l, :]
-    return jnp.einsum("li,...ij,lj->...l", Bx, coeffs, By)
+    # result[..., l] = Bx[l, :] @ coeffs[...] @ By[l, :]. HIGHEST for the
+    # same reason as cheb2d_coeffs above: bf16-truncated default matmuls
+    # destroy large-magnitude ln-space expansions.
+    return jnp.einsum("li,...ij,lj->...l", Bx, coeffs, By,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def bilinear(x, y, xp, yp, fp, extrapolate: bool = True):

@@ -174,6 +174,102 @@ class SplitKernelCost(KernelCost):
     dense_near: int = 0   # dense near-tile (full w4) evals executed
 
 
+def linesum_cost_coarse(
+    plan,
+    nu_lines,
+    params,
+    n_states: int,
+    lgroup: int = 8,
+    dtype_bytes: int = 4,
+    stencil_k: int | None = None,
+) -> SplitKernelCost:
+    """Cost model of the coarse-grid far-field strategy (strategy='coarse',
+    auto-routed for phco2 on dense grids; ops/linesum_pallas.py:712-1005).
+
+    Work decomposes into four parts, sized from the split geometry
+    (d_far, h, n_cc) that ``_coarse_far_params`` computed for this plan:
+      * fine pass: per-point line work within |dnu| <= 2*d_far,
+      * annulus pass: the thin outer roll that keeps the reference's hard
+        truncation at ``cut`` exact, width w_roll on each side,
+      * coarse sweep: every line over coarse points within ``cut`` at
+        spacing h (the dbar/h compression is the strategy's whole point),
+      * interpolation: ~12 FLOP/point/state cubic in sqrt-sigma space.
+    All line-profile work uses the slimmed region-1 quotient
+    (FAR_FLOPS_PER_EVAL); the near-core w4 correction follows the stencil
+    model when the plan carries stencil geometry. Counts are engineering
+    estimates (group-rounding inside blocks is not modeled) — treat the
+    resulting fraction as a scale, as with the other cost models.
+    """
+    from ..ops.linesum_pallas import W_ROLL_CELLS
+
+    nu = np.asarray(plan.nu, dtype=np.float64)
+    nu_lines = np.sort(np.asarray(nu_lines, dtype=np.float64))
+    d_far, h, n_cc, _ = params
+    cut = float(plan.cut)
+    w_roll = W_ROLL_CELLS * h
+
+    def pairs_within(dist):
+        lo = np.searchsorted(nu, nu_lines - dist, side="left")
+        hi = np.searchsorted(nu, nu_lines + dist, side="right")
+        return int((hi - lo).sum())
+
+    fine_pairs = pairs_within(2.0 * d_far) * n_states
+    ann_pairs = (pairs_within(cut) - pairs_within(cut - w_roll)) * n_states
+    coarse_pairs = int(len(nu_lines) * min(2.0 * cut, nu[-1] - nu[0]) / h
+                       ) * n_states
+    if stencil_k:
+        near_pairs = len(nu_lines) * 2 * int(stencil_k) * n_states
+    else:
+        d_near = min(cut, 2.0 * d_far)
+        near_pairs = pairs_within(d_near) * n_states
+    interp_flops = 12.0 * plan.n_nu * n_states
+
+    lo = np.searchsorted(nu_lines, nu - cut, side="left")
+    hi = np.searchsorted(nu_lines, nu + cut, side="right")
+    useful = int((hi - lo).sum()) * n_states
+
+    n_lines = len(nu_lines)
+    bytes_pack = n_lines * (2 + 7 * n_states) * dtype_bytes
+    bytes_out = plan.n_blocks * plan.block * n_states * dtype_bytes
+    bytes_grid = 2 * plan.n_blocks * plan.block * dtype_bytes
+    bytes_coarse = 3 * n_cc * n_states * dtype_bytes  # coarse field r/w + interp read
+    dense_far = fine_pairs + ann_pairs + coarse_pairs
+    return SplitKernelCost(
+        flops=dense_far * FAR_FLOPS_PER_EVAL
+        + near_pairs * NEAR_FLOPS_PER_EVAL
+        + interp_flops,
+        useful_flops=float(useful * FAR_FLOPS_PER_EVAL),
+        bytes_moved=float(bytes_pack + bytes_out + bytes_grid + bytes_coarse),
+        evals=useful,
+        dense_far=dense_far,
+        dense_near=near_pairs,
+    )
+
+
+def coarse_roofline_report(
+    plan, nu_lines, params, n_states: int, seconds: float,
+    chip: str = "v5e", lgroup: int = 8, stencil_k: int | None = None,
+) -> dict:
+    """Roofline context for a measured coarse-strategy run (same contract as
+    :func:`split_roofline_report`: the fraction is a scale, not a
+    percentage-point claim)."""
+    cost = linesum_cost_coarse(plan, nu_lines, params, n_states,
+                               lgroup=lgroup, stencil_k=stencil_k)
+    peak_flops, peak_bw = CHIP_PEAKS[chip]
+    achieved = cost.flops / seconds
+    roof = min(peak_flops, peak_bw * cost.intensity)
+    return {
+        "achieved_flops": achieved,
+        "peak_flops": peak_flops,
+        "intensity_flop_per_byte": cost.intensity,
+        "binding_roof_flops": roof,
+        "fraction_of_roof": achieved / roof,
+        "dense_evals_per_s": (cost.dense_far + cost.dense_near) / seconds,
+        "useful_evals_per_s": cost.evals / seconds,
+        "useful_over_dense": cost.evals / max(cost.dense_far + cost.dense_near, 1),
+    }
+
+
 def split_roofline_report(
     plan, nu_lines, d_near: float, n_states: int, seconds: float,
     chip: str = "v5e", lgroup: int = 8, stencil_k: int | None = None,

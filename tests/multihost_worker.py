@@ -66,6 +66,27 @@ def main():
 
     # two sharded RCE steps as well (DCN collective executes repeatedly)
     sfn = make_sharded_step(mesh, r, dt=300.0, update_every=1)
+
+    # audit the MULTI-PROCESS compiled HLO: when the mesh spans processes the
+    # collectives lower across DCN, where XLA could in principle insert extra
+    # communication — the single-process one-all-reduce assertion
+    # (tests/test_parallel.py) does not cover that lowering. Count here and
+    # let the parent assert from the log.
+    import re
+    from collections import Counter
+
+    rs, ws = sfn.bound_args
+    hlo = sfn.jitted.lower(
+        rs, ws, r.T, rs.A, jax.numpy.asarray(0)
+    ).compile().as_text()
+    cc = Counter(re.findall(
+        r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+        r"(?:-start|-done)?\(",
+        hlo,
+    ))
+    n_ar = cc.get("all-reduce", 0)
+    n_other = sum(v for k, v in cc.items() if k != "all-reduce")
+
     T, A = r.T, sfn.rcm_sharded.A
     for i in range(2):
         T, A = sfn(T, A, i)
@@ -76,7 +97,8 @@ def main():
     # every process must agree (replicated outputs); emit a checksum so the
     # parent can cross-check rank consistency from the logs
     print(f"rank {rank}/{nprocs}: devices {n_local} local / {n_global} global "
-          f"H_sum={H_np.sum():.17e} T2_sum={T_np.sum():.17e}", flush=True)
+          f"H_sum={H_np.sum():.17e} T2_sum={T_np.sum():.17e} "
+          f"n_allreduce={n_ar} n_other_collectives={n_other}", flush=True)
     jax.distributed.shutdown()
 
 

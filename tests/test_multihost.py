@@ -30,24 +30,27 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_sharded_heating_matches_single_process(fixtures_dir, tmp_path):
+@pytest.mark.parametrize("nprocs,ndev", [(2, 4), (4, 2)])
+def test_multi_process_sharded_heating_matches_single_process(
+    fixtures_dir, tmp_path, nprocs, ndev
+):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     out = tmp_path / "rank0.npz"
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     # the workers must not inherit this pytest process's 8-device flag
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, coordinator, "2", str(rank), str(out)],
+            [sys.executable, WORKER, coordinator, str(nprocs), str(rank), str(out)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for rank in range(2)
+        for rank in range(nprocs)
     ]
     logs = []
     for p in procs:
@@ -63,16 +66,22 @@ def test_two_process_sharded_heating_matches_single_process(fixtures_dir, tmp_pa
     assert out.exists(), "rank 0 wrote no output:\n" + "\n".join(logs)
 
     data = np.load(out)
-    assert int(data["n_global"]) == 8 and int(data["n_local"]) == 4
+    assert int(data["n_global"]) == 8 and int(data["n_local"]) == ndev
 
     # replicated outputs must be identical across ranks (checksums in logs)
     sums = [
         line for log in logs for line in log.splitlines() if "H_sum=" in line
     ]
-    assert len(sums) == 2, logs
+    assert len(sums) == nprocs, logs
     h_sums = {line.split("H_sum=")[1].split()[0] for line in sums}
     t_sums = {line.split("T2_sum=")[1].split()[0] for line in sums}
     assert len(h_sums) == 1 and len(t_sums) == 1, sums
+
+    # the one-all-reduce invariant must hold in the MULTI-PROCESS HLO too
+    # (cross-DCN lowering could in principle insert extra collectives; the
+    # single-process assertion in test_parallel.py does not cover it)
+    for line in sums:
+        assert "n_allreduce=1 " in line and "n_other_collectives=0" in line, line
 
     # single-process reference (this pytest process has 8 virtual devices,
     # but heating/run here use NO mesh at all — plain single-device code)

@@ -38,7 +38,11 @@ def test_batched_heating_matches_loop():
     for i, f in enumerate([0.5, 1.0, 1.5]):
         ri = dataclasses.replace(r, S_nu=r.S_nu * f)
         H = np.asarray(rcm_mod.heating(ri, Tb[i]))
-        np.testing.assert_allclose(Hb[i], H, rtol=1e-11)
+        # vmap-vs-loop reassociation only (the march's series/exp omt
+        # polynomial fuses differently under vmap; measured 7.5e-11 on
+        # near-zero stratospheric cells) — same 1e-9 class as the sharding
+        # equivalence gates
+        np.testing.assert_allclose(Hb[i], H, rtol=1e-9)
 
 
 def test_run_sweep_orders_by_insolation():
