@@ -346,16 +346,19 @@ class Gas(AbstractGas):
         BT = cheb_basis(Tq, d.Tmin, d.Tmax, d.nT)                       # [L, nT]
         BP = cheb_basis(jnp.log(Pq), np.log(d.Pmin), np.log(d.Pmax), d.nP)  # [L, nP]
         basis = (BT[:, :, None] * BP[:, None, :]).reshape(Tq.shape[0], -1)
-        # Precision.HIGHEST is load-bearing: the TPU's default f32 matmul
+        # The precision pin is load-bearing: the TPU's DEFAULT f32 matmul
         # truncates to bf16, and a 0.4% relative error on ln(sigma) values of
         # magnitude ~50-90 becomes a 20-75% error in sigma after exp — the
         # entire round-4 production-scale table tail came from this one
         # contraction (0.754 max-rel at 2^19 -> ~1e-2, the reference's stated
-        # table-error class, scripts/table_error_diagnosis.py). The matmul is
-        # HBM-bound on the [288, n_nu] coefficient read, so the extra MXU
-        # passes are nearly free (measured: see BASELINE.md round 4).
+        # table-error class, scripts/table_error_diagnosis.py). HIGH (3-pass
+        # bf16) carries ~2^-18 relative = ~3e-4 absolute in ln = 0.03% in
+        # sigma — 40x below the fit's own intrinsic 1.2% error class — at
+        # roughly half the MXU passes of the exact-f32 HIGHEST mode (a
+        # captured trace showed the HIGHEST contraction+exp fusion at
+        # 1.09 ms/call at 2^19, ~0.5 ms above the pre-pin bf16 one).
         ln = jnp.matmul(basis, self.coeffs,
-                        precision=jax.lax.Precision.HIGHEST)  # [L, n_nu] (MXU)
+                        precision=jax.lax.Precision.HIGH)  # [L, n_nu] (MXU)
         return jnp.exp(ln).reshape(shp + (self.coeffs.shape[-1],))
 
     def reconcentrate(self, fC) -> "Gas":

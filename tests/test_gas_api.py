@@ -112,3 +112,37 @@ def test_profiling_cost_model():
     rep = speed_of_light_report(plan, 4, seconds=0.01, chip="v5e")
     assert 0 < rep["fraction_of_roof"]
     assert rep["achieved_flops"] == pytest.approx(cost.flops / 0.01)
+
+
+def test_table_contractions_pin_highest_precision(fixtures_dir):
+    """The ln-sigma matmuls MUST carry Precision.HIGHEST: the TPU's default
+    f32 matmul truncates operands to bf16, and a 0.4% relative error on
+    ln(sigma) of magnitude ~50-90 exponentiates into 20-75% sigma errors —
+    the round-4 production-scale table tail (0.754 max rel at 2^19, fixed to
+    0.013 by this precision pin; scripts/table_error_diagnosis.py). The bug
+    cannot reproduce on CPU (true-f32 matmuls), so this guards the traced
+    precision attribute itself.
+    """
+    import jax
+    from clearsky_tpu.absorption.domain import AtmosphericDomain
+    from clearsky_tpu.absorption.gas import Gas
+    from clearsky_tpu.spectra.lines import SpectralLines
+    from clearsky_tpu.utils.interp import cheb2d_coeffs
+
+    lines = SpectralLines.from_par(f"{fixtures_dir}/CO2.par", maxlines=50)
+    nu_l = np.asarray(lines.nu)
+    nu = np.linspace(nu_l.min() - 25.0, nu_l.max() + 25.0, 128)
+    dom = AtmosphericDomain.create((150.0, 350.0), 4, (10.0, 1e5), 6)
+    g = Gas.from_lines(lines, 0.9, nu, dom)
+    txt = str(jax.make_jaxpr(lambda T, P: g.raw_sigma(T, P))(
+        jnp.asarray([250.0]), jnp.asarray([1e4])
+    ))
+    # HIGH (3-pass bf16, ~2^-18) or HIGHEST both hold the ~1% table class;
+    # the DEFAULT (single-pass bf16) is the bug
+    assert ("Precision.HIGH" in txt or "Precision.HIGHEST" in txt), \
+        "table eval lost its precision pin"
+    assert "precision=None" not in txt.split("dot_general")[1][:200]
+
+    # the bake-time Chebyshev transform too
+    txt2 = str(jax.make_jaxpr(cheb2d_coeffs)(jnp.ones((3, 4, 5))))
+    assert "Precision.HIGHEST" in txt2, "cheb2d_coeffs lost its precision pin"
