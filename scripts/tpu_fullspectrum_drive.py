@@ -31,6 +31,10 @@ G, MU, CP, PS, PT = 9.8, 0.044, 850.0, 1e5, 10.0
 def timed_chain(make_fn, x0, K, reps=3, extra=None):
     """min wall of a K-chained jit with data dependency, minus min-of-5 RTT.
 
+    K must put >= ~100 ms of work on the chip per chain: round 3 used K=2-4
+    here and the interleaved re-measurement in round 4 showed +-3 ms RTT
+    jitter on such chains, which dominated the sub-10 ms table-mode rows.
+
     ``extra`` (e.g. the absorber pytree) is passed as a TRACED argument —
     closure-capturing a baked table's 600 MB coefficient tensor turns it
     into an HLO constant and blows the remote-compile request limit.
@@ -125,7 +129,7 @@ def main():
         return outgoing_flux(tau, B, 5)
 
     x0 = jnp.asarray(0.0)
-    dt_direct = timed_chain(olr_core, x0, K=4,
+    dt_direct = timed_chain(olr_core, x0, K=8,
                             extra=unify_absorbers((co2_direct,)))
     rep["olr_direct_s"] = dt_direct
     olr_direct = np.asarray(outgoing(np.asarray(Pe), G, fT, fmu, co2_direct))
@@ -139,7 +143,7 @@ def main():
     co2_table = Gas.from_lines(co2, 0.95, nu, dom)
     jax.block_until_ready(co2_table.coeffs)
     rep["bake_s_co2"] = time.time() - t_b
-    dt_table = timed_chain(olr_core, x0, K=4,
+    dt_table = timed_chain(olr_core, x0, K=64,
                            extra=unify_absorbers((co2_table,)))
     rep["olr_table_s"] = dt_table
     olr_table = np.asarray(outgoing(np.asarray(Pe), G, fT, fmu, co2_table))
@@ -176,7 +180,7 @@ def main():
         M_up, M_down = monoflux(tau, B, A.nu, S_nu, a_nu, 0.841, 5)
         return trapz(A.nu, M_up - M_down)
 
-    dt_flux_direct = timed_chain(fluxes_core, x0, K=2,
+    dt_flux_direct = timed_chain(fluxes_core, x0, K=8,
                                  extra=unify_absorbers((mg, cia)))
     rep["fluxes_direct_s"] = dt_flux_direct
     from clearsky_tpu.rt.fluxes import net_fluxes
@@ -191,7 +195,7 @@ def main():
     h2o_t = Gas.from_lines(h2o, 0.005, nu, dom)
     jax.block_until_ready(h2o_t.coeffs)
     rep["bake_s_both"] = time.time() - t_b
-    dt_flux_table = timed_chain(fluxes_core, x0, K=2,
+    dt_flux_table = timed_chain(fluxes_core, x0, K=32,
                                 extra=unify_absorbers((co2_t, h2o_t, cia)))
     rep["fluxes_table_s"] = dt_flux_table
     Fnet_table = np.asarray(net_fluxes(np.asarray(Pe), G, fT, fmu, fS, 0.1, co2_t, h2o_t, cia))
