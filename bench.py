@@ -227,7 +227,9 @@ def bench_rce_step(n_nu=16384, K=32):
     return max(min(times) - min(rtts), 1e-9) / K * 1e3
 
 
-def bench_pipeline_olr(n_nu=524288, nlev=20, K=4):
+def bench_pipeline_olr(n_nu=524288, nlev=20, K=32):
+    # K=32 puts ~75 ms on the chip per chain; shorter chains are RTT-jitter
+    # dominated (a K=4 run reported 1.49 ms where K=48 chains measure 2.33)
     """Production flux pipeline: baked-table OLR at 2^19 points (BASELINE
     config 2, table mode) in ms/call, plus its ideal-fusion fraction of the
     HBM roof (scripts/flux_pipeline_roofline.py is the stage-level
