@@ -24,10 +24,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import numpy as _np
+
 from ..constants import P_ATM, T_ICE, K_BOLTZ, LOSCHMIDT
+
+_LOG_LOSCHMIDT = float(_np.log(LOSCHMIDT))
 from ..utils.interp import interp_linear
 
-__all__ = ["read_cia", "CIATables", "BoundCIA", "CIA", "cia_xsec"]
+__all__ = ["read_cia", "CIATables", "BoundCIA", "CIA", "cia_xsec", "cia_xsec_scaled"]
 
 _TINY = np.finfo(np.float64).tiny
 
@@ -206,11 +210,19 @@ class BoundCIA:
     extrapolate: bool = dataclasses.field(metadata=dict(static=True), default=False)
     use_singles: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
-    def k(self, T):
+    def k(self, T, scale: float = 0.0):
         """Absorption coefficient k[..., n_nu] [cm^5/molecule^2] at temperature T [...].
 
         Device equivalent of the reference's per-scalar summed interpolation
         (ref :251-276): every containing range contributes exp(interp(log k)).
+
+        ``scale`` is added INSIDE the exponent: k values are ~1e-44
+        cm^5/molecule^2 — BELOW the float32 normal range (1.2e-38), so
+        ``exp(log k)`` flushes to zero on f32 hardware and the whole CIA
+        contribution silently vanishes (found in round 4: the f32 config-4
+        column lost 24 W/m^2 of window-region downwelling to exactly this).
+        Callers that need f32 safety pass ``scale=ln(LOSCHMIDT)`` and work
+        with k*Lo (~1e-25, comfortably normal); see :func:`cia_xsec`.
         """
         T = jnp.asarray(T)
         n_nu = (self.mask[0] if self.mask else self.s_mask[0]).shape[0]
@@ -219,14 +231,15 @@ class BoundCIA:
             # interp in T along the last axis of [n_nu, mT]; result [n_nu, ...T]
             v = interp_linear(T, Tr, jnp.moveaxis(logk, 0, -1), extrapolate=False)
             v = jnp.moveaxis(v, 0, -1)  # -> [...T, n_nu]
-            contrib = jnp.exp(v)
+            contrib = jnp.exp(v + scale)
             if not self.extrapolate:
                 in_T = (T >= Tr[0]) & (T <= Tr[-1])
                 contrib = jnp.where(in_T[..., None], contrib, 0.0)
             total = total + jnp.where(m, contrib, 0.0)
         if self.use_singles:
             for slogk, sm in zip(self.s_logk, self.s_mask):
-                contrib = jnp.broadcast_to(jnp.exp(slogk), T.shape + slogk.shape)
+                contrib = jnp.broadcast_to(jnp.exp(slogk + scale),
+                                           T.shape + slogk.shape)
                 total = total + jnp.where(sm, contrib, 0.0)
         return total
 
@@ -245,6 +258,17 @@ def cia_xsec(k, T, Pa, P1, P2):
     # NaN'd the whole CIA path on TPU; k*Lo (~1e-26) and Lo/rho_a (~1e-6 at
     # surface conditions) are both representable, so apply Lo twice
     return ((k * LOSCHMIDT) * (LOSCHMIDT / rho_a)) * rho1 * rho2
+
+
+def cia_xsec_scaled(kLo, T, Pa, P1, P2):
+    """:func:`cia_xsec` taking the PRE-SCALED k*Lo (from ``BoundCIA.k(T,
+    scale=log(LOSCHMIDT))``) — the float32-safe production path: the raw k
+    (~1e-44 cm^5/molecule^2) sits below the f32 normal range and flushes to
+    zero if ever materialized."""
+    rho1 = (P1 / P_ATM) * (T_ICE / T)
+    rho2 = (P2 / P_ATM) * (T_ICE / T)
+    rho_a = 1e-6 * Pa / (K_BOLTZ * T)
+    return (kLo * (LOSCHMIDT / rho_a)) * rho1 * rho2
 
 
 @jax.tree_util.register_dataclass
@@ -296,7 +320,8 @@ class CIA:
         """CIA cross-section contribution [..., n_nu] at (T, P) arrays."""
         T = jnp.asarray(T)
         P = jnp.asarray(P)
-        k = self.tables.k(T)
+        kLo = self.tables.k(T, scale=_LOG_LOSCHMIDT)
         P1 = P * jnp.asarray(self.g1.concentration(T, P))
         P2 = P * jnp.asarray(self.g2.concentration(T, P))
-        return cia_xsec(k, T[..., None], P[..., None], P1[..., None], P2[..., None])
+        return cia_xsec_scaled(kLo, T[..., None], P[..., None], P1[..., None],
+                               P2[..., None])

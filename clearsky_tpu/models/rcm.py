@@ -220,13 +220,46 @@ def _flux_on_radiative_grid(rcm: RCM, T, A: AcceleratedAbsorber):
     return FluxPack(tau, M_up, M_down, F_up, F_down, F_up - F_down)
 
 
+def _heating_operator(rcm, T):
+    """The linear map G: M_net[nr, n_nu] -> H rows, built per-nu.
+
+    Algebraically, heating is interp(lnPr -> lnPe) o level-difference o
+    scale, applied to the spectrally integrated net flux. Applying that
+    linear map BEFORE the spectral integral is mathematically identical but
+    far better conditioned in float32: F_net is O(100) W/m^2 while its
+    adjacent-level differences are O(0.1-1), so integrate-then-difference
+    amplifies the integral's rounding ~100-1000x. Measured on the config-4
+    column: f32 heating error 2.4% of peak (at the equilibrium state) the
+    old way, which shifted the f32 quasi-steady state by ~12 K in the
+    convective-boundary levels; difference-then-integrate brings f32
+    heating to the ~1e-4-of-peak class (BASELINE.md round 4).
+
+    Rows 0..np-2 are the cell heating weights (g/cp * dInterp / dP, with
+    the reference's sign flip, ref radiative_convective.jl:115-124); the
+    last row is the surface term (interp row at Pe[-1], scaled 1/cs).
+    """
+    lnPe, lnPr = jnp.log(rcm.Pe), jnp.log(rcm.Pr)
+    nr = rcm.Pr.shape[0]
+    npe = rcm.Pe.shape[0]
+    i = jnp.clip(jnp.searchsorted(lnPr, lnPe, side="right") - 1, 0, nr - 2)
+    t = (lnPe - lnPr[i]) / (lnPr[i + 1] - lnPr[i])
+    rows = jnp.arange(npe)
+    W = jnp.zeros((npe, nr), dtype=rcm.Pr.dtype)
+    W = W.at[rows, i].add(-(1.0 - t)).at[rows, i + 1].add(-t)  # R = -interp
+    cp = jnp.asarray(rcm.fcp(T[:-1], rcm.P[:-1]))
+    dP = rcm.Pe[1:] - rcm.Pe[:-1]
+    Gc = (W[:-1] - W[1:]) * ((rcm.g / cp) / dP)[:, None]
+    Gs = W[-1:] / rcm.cs
+    return jnp.concatenate([Gc, Gs])
+
+
 def heating(rcm: RCM, T=None, A: AcceleratedAbsorber | None = None, spectral_sum=None):
     """Cell heating rates H [K/s] (last entry = surface). Ref radiative_convective.jl:108-144.
 
     Pure function of the temperature state: radiates on the refined grid,
-    interpolates net flux back to the edges with the reference's sign flip
-    (pressure increases downward, ref :115-124), and converts flux divergence
-    to heating with the local heat capacity.
+    applies the interp/difference/scale operator to the PER-WAVENUMBER net
+    flux (see :func:`_heating_operator` — difference-then-integrate is the
+    f32-conditioning-critical order), and spectrally integrates the result.
 
     ``spectral_sum`` optionally replaces the spectral trapz integral
     ``y[..., n_nu] -> [...]`` — the hook the sharded path uses to turn the one
@@ -234,18 +267,15 @@ def heating(rcm: RCM, T=None, A: AcceleratedAbsorber | None = None, spectral_sum
     """
     T = rcm.T if T is None else T
     A = rcm.A if A is None else A
+    _, M_up, M_down = _mono_on_radiative_grid(rcm, T, A)
+    G = _heating_operator(rcm, T)
+    # HIGHEST: the default TPU matmul would truncate M_net to bf16 and put
+    # the 0.4% error class right back into the heating
+    dH = jnp.matmul(G, M_up - M_down,
+                    precision=jax.lax.Precision.HIGHEST)  # [np, n_nu]
     if spectral_sum is None:
-        F = _flux_on_radiative_grid(rcm, T, A)
-        F_net = F.F_net
-    else:
-        _, M_up, M_down = _mono_on_radiative_grid(rcm, T, A)
-        F_net = spectral_sum(M_up - M_down)
-    R = -interp_linear(jnp.log(rcm.Pe), jnp.log(rcm.Pr), F_net)
-    cp = jnp.asarray(rcm.fcp(T[:-1], rcm.P[:-1]))
-    dP = rcm.Pe[1:] - rcm.Pe[:-1]
-    H_cells = (rcm.g / cp) * (R[:-1] - R[1:]) / dP
-    H_surf = R[-1:] / rcm.cs
-    return jnp.concatenate([H_cells, H_surf])
+        return trapz(rcm.nu, dH, axis=-1)
+    return spectral_sum(dH)
 
 
 def radiate_state(rcm: RCM) -> FluxPack:

@@ -5,11 +5,14 @@ struct (ref collision_induced_absorption.jl:431-465); these tests exercise
 that full path against the bundled CO2-CO2 fixture.
 """
 
+import os
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from clearsky_tpu.absorption.cia import read_cia, CIATables, cia_xsec
+from clearsky_tpu.absorption.cia import read_cia, CIATables, cia_xsec, CIA
 from clearsky_tpu.absorption.gas import DirectGas, GrayGas
 from clearsky_tpu.absorption.absorbers import unify_absorbers
 from clearsky_tpu.constants import R_GAS
@@ -118,3 +121,44 @@ def test_cia_sigma_finite_in_float32(fixtures_dir):
     P = jnp.asarray([1e2, 1e4, 1e5], jnp.float32)
     sig_stack = np.asarray(A32.sigma(T, P))
     assert np.all(np.isfinite(sig_stack))
+
+
+def test_cia_survives_float32(fixtures_dir):
+    """CIA absorption coefficients (~1e-44 cm^5/molecule^2) sit BELOW the
+    float32 normal range: exp(log k) flushes to zero in f32 and the whole
+    CIA contribution silently vanishes — found in round 4 as a missing
+    24 W/m^2 of window-region downwelling that pushed the f32 config-4 RCE
+    trajectory 16 K off the f64 oracle class (3 K). The production path now
+    keeps the Loschmidt factor inside the exponential (k*Lo ~ 1e-25). The
+    suite runs under x64, where f32 inputs silently promote, so the f32
+    evaluation runs in a true-f32 subprocess.
+    """
+    import subprocess
+    import sys
+
+    worker = (
+        "import jax; jax.config.update(\'jax_platforms\',\'cpu\')\n"
+        "import numpy as np, jax.numpy as jnp, dataclasses\n"
+        "from clearsky_tpu.absorption.cia import CIATables, CIA\n"
+        "from clearsky_tpu.absorption.gas import GrayGas\n"
+        f"tab = CIATables.from_file(\'{fixtures_dir}/CO2-CO2_2018.cia\')\n"
+        "nu = np.linspace(1200.0, 1400.0, 64)\n"
+        "g = dataclasses.replace(GrayGas.create(1e-30, nu), formula=\'CO2\')\n"
+        "pair = CIA.pair(tab.bind(nu), (g,))\n"
+        "s = np.asarray(pair.sigma(jnp.asarray(300.0), jnp.asarray(1e5)), np.float64)\n"
+        "assert s.dtype == np.float64 and jnp.asarray(1.0).dtype == jnp.float32\n"
+        "print(\'MAXSIG\', s.max())\n"
+    )
+    p = subprocess.run([sys.executable, "-c", worker], capture_output=True,
+                       text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert p.returncode == 0, p.stderr
+    s32 = float(p.stdout.split("MAXSIG")[1])
+
+    tab = CIATables.from_file(f"{fixtures_dir}/CO2-CO2_2018.cia")
+    nu = np.linspace(1200.0, 1400.0, 64)
+    g = dataclasses.replace(GrayGas.create(1e-30, nu), formula="CO2")
+    pair = CIA.pair(tab.bind(nu), (g,))
+    s64 = float(np.asarray(pair.sigma(jnp.asarray(300.0), jnp.asarray(1e5)),
+                           np.float64).max())
+    assert s64 > 1e-26  # the band genuinely has CIA here
+    assert abs(s32 - s64) / s64 < 1e-5, (s32, s64)
