@@ -32,6 +32,7 @@ from ..utils.grids import trapz
 from ..absorption.absorbers import AcceleratedAbsorber, unify_absorbers
 from ..atmosphere.adiabats import lapse
 from ..rt.discretized import (
+    layer_tau_flat,
     FluxPack,
     lobatto_pressures,
     layer_tau,
@@ -201,11 +202,15 @@ def _mono_on_radiative_grid(rcm: RCM, T, A: AcceleratedAbsorber):
             nstream=core.nstream, tol=core.tol, max_steps=core.max_steps,
         )
         return tau, M_up, M_down
+    # FLAT node evaluation + block-diagonal quadrature matmul: the 3-D
+    # [np-1, nlobatto, n_nu] sigma shape forces a physical sublane
+    # re-tiling on TPU (see rt.discretized.layer_tau_flat)
     Pn = lobatto_pressures(rcm.Pr, core.nlobatto)
-    Tn = fT(Pn)
-    mun = jnp.broadcast_to(jnp.asarray(rcm.fmu(Tn, Pn)), Pn.shape)
-    sig = A.sigma(Tn, Pn)
-    tau = layer_tau(rcm.Pr, Tn, mun, sig, rcm.g, core.nlobatto)
+    Pf = Pn.reshape(-1)
+    Tf = fT(Pf)
+    muf = jnp.broadcast_to(jnp.asarray(rcm.fmu(Tf, Pf)), Pf.shape)
+    sig = A.sigma(Tf, Pf)
+    tau = layer_tau_flat(rcm.Pr, muf, sig, rcm.g, core.nlobatto)
     B = planck(rcm.nu[None, :], fT(rcm.Pr)[:, None])
     M_up, M_down = monoflux(
         tau, B, rcm.nu, rcm.S_nu, rcm.a_nu, rcm.theta_s, core.nstream

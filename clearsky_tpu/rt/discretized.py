@@ -145,6 +145,37 @@ def layer_tau(P, Tn, mun, sigman, g, nlobatto: int, floor: bool = False):
     return tau
 
 
+def layer_tau_flat(P, muf, sig_flat, g, nlobatto: int, floor: bool = False):
+    """Per-layer tau[np-1, n_nu] from FLAT node cross-sections.
+
+    Same quadrature as :func:`layer_tau`, but the node axis stays flat
+    ([np-1 * nlobatto, n_nu]) and the whole Lobatto reduction — dP, node
+    weight, 1e-4 Na/g, 1/mu — is one static block-diagonal matmul that
+    reads sigma exactly once. Evaluating sigma at the 3-D
+    [np-1, nlobatto, n_nu] shape forces a physical sublane re-tiling on TPU
+    (each nlobatto group pads to 8 sublanes; a captured trace priced it at
+    0.96 ms/call at 2^19 points — 29% of the table-mode OLR,
+    scripts/tpu_trace_capture.py round 4).
+
+    ``muf`` is the flat per-node molar mass [np-1 * nlobatto].
+    """
+    P = jnp.asarray(P)
+    L = P.shape[0] - 1
+    k = nlobatto
+    _, w = lobatto_unit_nodes(k)
+    mask = np.zeros((L, L * k))
+    for j in range(k):
+        mask[np.arange(L), np.arange(L) * k + j] = w[j]
+    dP = P[1:] - P[:-1]
+    Wm = jnp.asarray(mask, dtype=sig_flat.dtype) * dP[:, None].astype(sig_flat.dtype)
+    Wm = Wm * ((1e-4 * N_AVOGADRO / g) / muf)[None, :].astype(sig_flat.dtype)
+    # HIGHEST: the default TPU matmul would truncate sigma to bf16 (0.4%)
+    tau = jnp.matmul(Wm, sig_flat, precision=jax.lax.Precision.HIGHEST)
+    if floor:
+        tau = jnp.maximum(tau, jnp.asarray(TAU_MIN, dtype=tau.dtype))
+    return tau
+
+
 def path_tau(P, Tn, mun, sigman, g, m, nlobatto: int):
     """Total slant-path optical depth [n_nu] between P[0] and P[-1], angle factor m.
 

@@ -134,36 +134,16 @@ def _column_tau(P, g, fT, fmu, A, nlobatto, floor=False):
     """tau[np-1, n_nu] on an ascending pressure column.
 
     sigma is evaluated FLAT ([np-1 * nlobatto, n_nu]) and the Lobatto
-    quadrature is one static block-diagonal matmul: evaluating at the 3-D
-    [np-1, nlobatto, n_nu] shape forces a physical sublane re-tiling on TPU
-    (each nlobatto group pads to 8 sublanes) that a captured hardware trace
-    showed costing 0.96 ms/call at 2^19 points — 29% of the whole table-mode
-    OLR (scripts/tpu_trace_capture.py, round 4). All per-node factors
-    (dP, Lobatto weight, 1e-4 Na/g, 1/mu) fold into the tiny [np-1, L]
-    weight matrix, so the matmul reads sigma exactly once.
+    quadrature is one static block-diagonal matmul (see
+    :func:`rt.discretized.layer_tau_flat` for the TPU re-tiling rationale).
     """
-    import numpy as _np
-    from ..constants import N_AVOGADRO
+    from .discretized import layer_tau_flat
 
     Pn = lobatto_pressures(P, nlobatto)            # [np-1, k]
-    L, k = Pn.shape
     Pf = Pn.reshape(-1)
     Tf, muf = _eval_profiles(Pf, fT, fmu)
     sig = A.sigma(Tf, Pf)                          # [L*k, n_nu] flat
-    _, w = lobatto_unit_nodes(k)
-    mask = _np.zeros((L, L * k))
-    for j in range(k):
-        mask[_np.arange(L), _np.arange(L) * k + j] = w[j]
-    dP = (P[1:] - P[:-1])
-    Wm = jnp.asarray(mask, dtype=sig.dtype) * dP[:, None].astype(sig.dtype)
-    Wm = Wm * ((1e-4 * N_AVOGADRO / g) / muf)[None, :].astype(sig.dtype)
-    # HIGHEST: the default TPU matmul would truncate sigma to bf16 (0.4%)
-    tau = jnp.matmul(Wm, sig, precision=jax.lax.Precision.HIGHEST)
-    if floor:
-        from .discretized import TAU_MIN
-
-        tau = jnp.maximum(tau, jnp.asarray(TAU_MIN, dtype=tau.dtype))
-    return tau
+    return layer_tau_flat(P, muf, sig, g, nlobatto, floor=floor)
 
 
 def _omega_grid(P1, P2, n):
