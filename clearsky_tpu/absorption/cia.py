@@ -24,11 +24,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-import numpy as _np
-
 from ..constants import P_ATM, T_ICE, K_BOLTZ, LOSCHMIDT
 
-_LOG_LOSCHMIDT = float(_np.log(LOSCHMIDT))
+_LOG_LOSCHMIDT = float(np.log(LOSCHMIDT))
 from ..utils.interp import interp_linear
 
 __all__ = ["read_cia", "CIATables", "BoundCIA", "CIA", "cia_xsec", "cia_xsec_scaled"]

@@ -35,7 +35,6 @@ from ..rt.discretized import (
     layer_tau_flat,
     FluxPack,
     lobatto_pressures,
-    layer_tau,
     monoflux,
     integrate_flux,
 )

@@ -100,7 +100,20 @@ def sharded_radiate(mesh: Mesh, rcm) -> FluxPack:
     n_nu = rcm.nu.shape[0]
     _check_divisible(n_nu, mesh)
     rcm_s = shard_spectral(shard_lbl(rcm, mesh.shape["nu"]), mesh, n_nu)
-    return jax.jit(rcm_mod.radiate_state)(rcm_s)
+    # pin the XLA scan march for the trace: under GSPMD auto-partitioning
+    # the operands reaching monoflux are globally nu-sharded, and XLA has
+    # no partitioning rule for pallas_call — the kernel would force a
+    # replicating all-gather of the full spectrum (or fail to lower) on a
+    # real multi-chip mesh. The shard_map paths are unaffected (their
+    # operands are shard-local, which Pallas handles fine).
+    from ..rt import discretized as _disc
+
+    prev = _disc._USE_MARCH_KERNEL
+    _disc._USE_MARCH_KERNEL = False
+    try:
+        return jax.jit(rcm_mod.radiate_state)(rcm_s)
+    finally:
+        _disc._USE_MARCH_KERNEL = prev
 
 
 def _check_divisible(n_nu: int, mesh: Mesh):

@@ -228,7 +228,10 @@ def _march(tau, m, B_lo, B_hi, I0, W=None, reverse=False):
         omt, t = _one_minus_exp_neg(tm)
         Be = layer_planck(b1[None, :], b2[None, :], tm, t, omt)
         I = I * t + Be
-        return I, (None if W is None else W @ I)
+        # pinned: the default TPU matmul truncates to bf16 — a 0.4% error
+        # class on the emitted fluxes (the kernel path sums this exactly)
+        return I, (None if W is None else jnp.matmul(
+            W, I, precision=jax.lax.Precision.HIGHEST))
 
     return lax.scan(step, I0, (tau, B_lo, B_hi), reverse=reverse, unroll=_UNROLL)
 
@@ -381,7 +384,8 @@ def outgoing_flux(tau, B, nstream: int, vertical: bool = False):
     # so nothing is stacked (W=None) — the round-3 version stacked the full
     # [L, nstream, n_nu] intensity history (~0.4 GB at 2^19) to read one row
     I_toa, _ = _march(tau, m, B[1:], B[:-1], I_surf, reverse=True)
-    return jnp.einsum("k,kv->v", W, I_toa)
+    return jnp.einsum("k,kv->v", W, I_toa,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def integrate_flux(M_up, M_down, nu):

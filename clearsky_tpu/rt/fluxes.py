@@ -22,11 +22,9 @@ import dataclasses
 import warnings
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..ops.planck import planck
-from ..utils.quadrature import lobatto_unit_nodes
 from ..atmosphere.profile import formprofile, formprofiles
 from ..absorption.absorbers import unify_absorbers, check_pressures
 from .discretized import (

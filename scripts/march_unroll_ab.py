@@ -72,6 +72,9 @@ def main():
     ref_out = ref_mono = None
     # two interleaved passes: the relay's throughput drifts over minutes, so
     # a sequential sweep confounds drift with the unroll effect
+    disc._USE_MARCH_KERNEL = False  # this A/B measures the XLA scan;
+    # without the pin the TPU dispatcher would route every 'unroll'
+    # configuration to the Pallas kernel and measure the same thing
     for u in (1, 2, 4, 8, nlay, 1, 2, 4, 8, nlay):
         disc._UNROLL = u
         f_out = lambda c: disc.outgoing_flux(tau * (1.0 + 1e-30 * c), B, 5)

@@ -49,6 +49,16 @@ def main():
     meta = json.loads(str(gold["meta"]))
     NS = min(args.steps, int(meta["steps"]))
     DT, UE, AE = 2e4, int(meta["update_every"]), int(meta["adjust_every"])
+    import math
+
+    cadence = math.lcm(UE, AE)
+    if args.chunk % cadence:
+        raise SystemExit(
+            f"--chunk must be a multiple of lcm(update_every, adjust_every)"
+            f" = {cadence}: run() restarts its local step counter per chunk,"
+            f" so any other chunk silently shifts the refresh/adjust phase"
+            f" relative to the frozen oracle"
+        )
     nnu = int(meta["nnu"])
 
     t0 = time.time()
