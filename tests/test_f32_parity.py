@@ -1,0 +1,114 @@
+"""Cross-configuration float32-vs-float64 pipeline parity.
+
+The TPU runs everything in float32, and the CPU suite runs in float64 — so
+a whole class of f32-only hazards is invisible to ordinary tests. Round 4
+found two silent ones (CIA coefficients below the f32 normal range flushing
+to zero — 24 W/m^2 of missing downwelling; bf16-truncated matmuls on
+ln-space tables — a 20-75% sigma error class). This suite runs the SAME
+small flux configurations in a true-f32 subprocess (the suite itself is
+x64) and in-process f64, and asserts band-integrated and pointwise
+agreement at the f32-roundoff class. A new physics path that silently
+degrades in f32 fails here before it ships to the chip.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r'''
+import sys, json
+import jax
+jax.config.update("jax_platforms", "cpu")
+if sys.argv[2] == "f64":
+    jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp
+from clearsky_tpu import GrayGas, outgoing
+from clearsky_tpu.spectra.lines import SpectralLines
+from clearsky_tpu.absorption.gas import DirectGas, Gas, MultiGas
+from clearsky_tpu.absorption.cia import CIATables
+from clearsky_tpu.absorption.domain import AtmosphericDomain
+from clearsky_tpu.constants import R_GAS
+from clearsky_tpu.rt.fluxes import fluxes
+from clearsky_tpu.utils.grids import pressuregrid
+
+FIX = sys.argv[3]
+config = sys.argv[1]
+G, MU, CP, PS, PT = 9.8, 0.044, 850.0, 1e5, 10.0
+Pe = pressuregrid(PT, PS, 12)
+Te = np.maximum(288.0 * (Pe / PS) ** (R_GAS / (MU * CP)), 170.0)
+fT = lambda P: jnp.interp(jnp.log(P), jnp.log(jnp.asarray(Pe)), jnp.asarray(Te))
+fmu = lambda T, P: MU
+
+if config == "gray":
+    nu = np.linspace(1.0, 5000.0, 2048)
+    absorbers = (GrayGas.create(3e-26, nu),)
+else:
+    co2 = SpectralLines.from_par(f"{FIX}/CO2.par", maxlines=800)
+    nu_l = np.asarray(co2.nu)
+    nu = np.linspace(max(nu_l.min() - 25.0, 1.0), nu_l.max() + 25.0, 2048)
+    if config == "co2_direct":
+        absorbers = (DirectGas.from_lines(co2, 0.95, nu),)
+    elif config == "co2_table":
+        dom = AtmosphericDomain.create((150.0, 350.0), 12, (0.9 * PT, 1.01 * PS), 24)
+        absorbers = (Gas.from_lines(co2, 0.95, nu, dom),)
+    elif config == "multigas_cia":
+        h2o = SpectralLines.from_par(f"{FIX}/H2O.par", maxlines=800)
+        mg = MultiGas.from_lines([(co2, 0.9), (h2o, 0.005)], nu)
+        cia = CIATables.from_file(f"{FIX}/CO2-CO2_2018.cia")
+        absorbers = (mg, cia)
+    else:
+        raise SystemExit(f"unknown config {config}")
+
+if config == "multigas_cia":
+    up, dn = fluxes(Pe, G, fT, fmu, 0.0, 0.0, *absorbers)
+    out = {"spec": (np.asarray(up, np.float64) - np.asarray(dn, np.float64)).tolist()}
+else:
+    olr = outgoing(Pe, G, fT, fmu, *absorbers)
+    out = {"spec": np.asarray(olr, np.float64).tolist(),
+           "band": float(np.trapezoid(np.asarray(olr, np.float64), nu))}
+print("RESULT " + json.dumps(out))
+'''
+
+
+def _run(config, mode, fixtures_dir):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    p = subprocess.run(
+        [sys.executable, "-c", _WORKER, config, mode, str(fixtures_dir)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert p.returncode == 0, f"{config}/{mode} failed:\n{p.stderr[-3000:]}"
+    line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+    return json.loads(line[0][7:])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "config,tol_point,tol_band",
+    [
+        # bars = 3x the measured f32 floor (pointwise-of-peak / band rel):
+        # gray is pure march roundoff; the line-by-line configs add the f32
+        # Faddeeva/line-sum class at line cores (measured 7.9e-5 both modes)
+        ("gray", 3e-6, 1e-6),
+        ("co2_direct", 2.5e-4, 1e-5),
+        ("co2_table", 2.5e-4, 1e-5),
+        # net-flux profiles difference large cancelling fluxes; the f32
+        # class there is ~1e-4 of the peak net flux
+        ("multigas_cia", 5e-4, None),
+    ],
+)
+def test_f32_pipeline_matches_f64(fixtures_dir, config, tol_point, tol_band):
+    r32 = _run(config, "f32", fixtures_dir)
+    r64 = _run(config, "f64", fixtures_dir)
+    a = np.array(r32["spec"])
+    b = np.array(r64["spec"])
+    scale = np.abs(b).max()
+    assert scale > 0
+    point = np.abs(a - b).max() / scale
+    assert point < tol_point, (config, point)
+    if tol_band is not None:
+        band = abs(r32["band"] - r64["band"]) / abs(r64["band"])
+        assert band < tol_band, (config, band)
