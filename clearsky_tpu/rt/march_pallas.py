@@ -57,10 +57,17 @@ def _one_minus_exp_neg(tm):
     agreement to the 1e-6 class.)
     """
     e = jnp.exp(-tm)
-    p = tm * (1.0 - tm * (0.5 - tm * ((1.0 / 6.0) - tm * (
-        (1.0 / 24.0) - tm * ((1.0 / 120.0) - tm * ((1.0 / 720.0) - tm * (
-            (1.0 / 5040.0) - tm * ((1.0 / 40320.0) - tm * (
-                (1.0 / 362880.0) - tm * (1.0 / 3628800.0))))))))))
+    if jnp.asarray(tm).dtype == jnp.float32:
+        # f32 needs only 7 terms: truncation <= 0.25^8/8! ~ 1.5e-9 relative
+        # at the switch — an order below f32 roundoff
+        p = tm * (1.0 - tm * (0.5 - tm * ((1.0 / 6.0) - tm * (
+            (1.0 / 24.0) - tm * ((1.0 / 120.0) - tm * ((1.0 / 720.0)
+                                                       - tm * (1.0 / 5040.0)))))))
+    else:
+        p = tm * (1.0 - tm * (0.5 - tm * ((1.0 / 6.0) - tm * (
+            (1.0 / 24.0) - tm * ((1.0 / 120.0) - tm * ((1.0 / 720.0) - tm * (
+                (1.0 / 5040.0) - tm * ((1.0 / 40320.0) - tm * (
+                    (1.0 / 362880.0) - tm * (1.0 / 3628800.0))))))))))
     omt = jnp.where(tm < 0.25, p, 1.0 - e)
     return omt, 1.0 - omt
 
@@ -76,7 +83,7 @@ def _layer_planck(b1, b2, tm, t, omt):
 
 
 def _march_kernel(tau_ref, B_ref, S_ref, a_ref, mw_ref, c_ref,
-                  md_ref, mu_ref, ms_ref, *, L, thermal_only):
+                  md_ref, mu_ref, ms_ref, *, L, thermal_only, beam_row):
     """One nu block: down march (+ beam) -> surface -> up march.
 
     tau_ref [L, NB]; B_ref [L+1, NB]; S_ref/a_ref [1, NB]; mw_ref [16, 1]
@@ -93,16 +100,32 @@ def _march_kernel(tau_ref, B_ref, S_ref, a_ref, mw_ref, c_ref,
     if not thermal_only:
         c = c_ref[0, 0]
         inv_c = 1.0 / c
+        # ride the beam on a FREE sublane row of the stream tile (nstream
+        # <= 5 leaves rows 5-7 unused): with slant 1/cos(theta_s) in that
+        # row, its transmittance t[row] IS the beam attenuation factor —
+        # one [8, NB] exp instead of an extra [1, NB] exp per layer (free
+        # rows have W = 0, so the garbage their layer_planck rows
+        # accumulate never reaches an output). With all 8 rows occupied by
+        # real streams the beam pays for its own exp.
+        if beam_row is not None:
+            row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            onehot = (row == beam_row).astype(m.dtype)
+            m_beam = m + onehot * (inv_c - m[beam_row:beam_row + 1, :])
+        else:
+            m_beam = m
         I = jnp.zeros((8, nb), dtype=tau_ref.dtype)
         bm = c * S_ref[pl.ds(0, 1), :]           # beam below level 0
         for l in range(L):
             tl = tau_ref[pl.ds(l, 1), :]         # [1, NB]
             b1 = B_ref[pl.ds(l, 1), :]
             b2 = B_ref[pl.ds(l + 1, 1), :]
-            tm = tl * m                          # [8, NB]
+            tm = tl * m_beam                     # [8, NB]
             omt, t = _one_minus_exp_neg(tm)      # see rt.discretized._march
             I = I * t + _layer_planck(b1, b2, tm, t, omt)
-            bm = bm * jnp.exp(-tl * inv_c)
+            if beam_row is not None:
+                bm = bm * t[beam_row:beam_row + 1, :]
+            else:
+                bm = bm * jnp.exp(-tl * inv_c)
             e = jnp.sum(W * I, axis=0, keepdims=True)
             md_ref[pl.ds(l, 1), :] = e + bm
         M_surf_down = e + bm                     # M_down at the surface level
@@ -163,7 +186,8 @@ def monoflux_pallas(tau, B, S_nu, albedo_nu, ctheta, m, W,
     blk = lambda r: pl.BlockSpec((r, block_n), lambda i: (0, i))
     fix = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))
     md, mu, ms = pl.pallas_call(
-        partial(_march_kernel, L=L, thermal_only=thermal_only),
+        partial(_march_kernel, L=L, thermal_only=thermal_only,
+                beam_row=nst if nst <= 7 else None),
         grid=grid,
         in_specs=[blk(L), blk(L + 1), blk(1), blk(1), fix(16, 1), fix(1, 1)],
         out_specs=[blk(L), blk(L), blk(1)],
