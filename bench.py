@@ -412,7 +412,9 @@ def main():
         # already-measured headline above
         if ph_plan is not None:
             from clearsky_tpu.ops.linesum_pallas import _coarse_far_params
-            from clearsky_tpu.utils.profiling import coarse_roofline_report
+            from clearsky_tpu.utils.profiling import (
+                coarse_roofline_report, split_roofline_report,
+            )
 
             pp = _coarse_far_params(ph_plan)
             if pp is not None:

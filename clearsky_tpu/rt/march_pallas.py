@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["monoflux_pallas", "BLOCK_N", "MAX_LAYERS"]
+__all__ = ["monoflux_pallas", "pack_mw", "BLOCK_N", "MAX_LAYERS"]
 
 BLOCK_N = 1024     # wavenumber lanes per grid step (8 f32 vregs wide)
 MAX_LAYERS = 128   # static-unroll guard; beyond this the XLA scan is used
@@ -146,9 +146,21 @@ def _march_kernel(tau_ref, B_ref, S_ref, a_ref, mw_ref, c_ref,
         mu_ref[pl.ds(l, 1), :] = jnp.sum(W * I, axis=0, keepdims=True)
 
 
+def pack_mw(m, W, dtype=np.float64) -> np.ndarray:
+    """Pack stream slants and weights into the kernel's [16, 1] operand
+    (rows 0-7 = m zero-padded, rows 8-15 = W)."""
+    nst = len(m)
+    if nst > 8:
+        raise ValueError("march kernel packs streams on sublanes; nstream <= 8")
+    mw = np.zeros((16, 1), dtype=dtype)
+    mw[:nst, 0] = np.asarray(m, dtype=dtype)
+    mw[8:8 + nst, 0] = np.asarray(W, dtype=dtype)
+    return mw
+
+
 def monoflux_pallas(tau, B, S_nu, albedo_nu, ctheta, m, W,
                     thermal_only: bool = False, interpret: bool = False,
-                    block_n: int = BLOCK_N):
+                    block_n: int = BLOCK_N, mw=None):
     """Whole-column up/down monochromatic fluxes via the fused march kernel.
 
     Same contract as ``rt.discretized.monoflux`` with the stream nodes
@@ -163,13 +175,21 @@ def monoflux_pallas(tau, B, S_nu, albedo_nu, ctheta, m, W,
     if L > MAX_LAYERS:
         raise ValueError(f"march kernel is static-unrolled; L={L} exceeds "
                          f"MAX_LAYERS={MAX_LAYERS}")
+    if L < 1:
+        # a zero-layer column would hit the kernel's read-after-loop of the
+        # down-march emission (UnboundLocalError at trace time); reject with
+        # a shape error instead
+        raise ValueError("march kernel needs at least one layer (two levels)")
     nst = len(m)
     if nst > 8:
         raise ValueError("march kernel packs streams on sublanes; nstream <= 8")
-    mw = np.zeros((16, 1), dtype=np.float64)
-    mw[:nst, 0] = np.asarray(m, dtype=np.float64)
-    mw[8:8 + nst, 0] = np.asarray(W, dtype=np.float64)
-    mw = jnp.asarray(mw, dtype=dt)
+    if mw is None:
+        mw = jnp.asarray(pack_mw(m, W), dtype=dt)
+    else:
+        # caller-provided operand (the custom_partitioning wrapper passes it
+        # explicitly: a traced-in constant would leave a const in the traced
+        # jaxpr, which custom_partitioning rejects)
+        mw = mw.astype(dt)
 
     Np = -(-N // block_n) * block_n
     pad = Np - N

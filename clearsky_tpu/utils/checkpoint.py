@@ -54,12 +54,23 @@ def save_gas(path: str, gas: Gas) -> None:
             "Pmin": d.Pmin, "Pmax": d.Pmax, "nP": d.nP,
         },
     }
-    np.savez_compressed(
-        path,
+    arrays = dict(
         manifest=np.frombuffer(json.dumps(manifest).encode(), dtype=np.uint8),
         nu=np.asarray(gas.nu),
         coeffs=np.asarray(gas.coeffs),
     )
+    if gas.coeffs_tail is not None:
+        # split-precision table: npz has no bfloat16, so the tail rides its
+        # bit pattern (uint16); lead/tail row indices live in the manifest
+        manifest["lead_idx"] = list(gas.lead_idx)
+        manifest["tail_idx"] = list(gas.tail_idx)
+        arrays["manifest"] = np.frombuffer(
+            json.dumps(manifest).encode(), dtype=np.uint8
+        )
+        arrays["coeffs_tail_bits"] = (
+            np.asarray(gas.coeffs_tail).view(np.uint16)
+        )
+    np.savez_compressed(path, **arrays)
 
 
 def load_gas(path: str, fC=1.0) -> Gas:
@@ -72,6 +83,14 @@ def load_gas(path: str, fC=1.0) -> Gas:
         domain = AtmosphericDomain.create(
             (dm["Tmin"], dm["Tmax"]), dm["nT"], (dm["Pmin"], dm["Pmax"]), dm["nP"]
         )
+        tail = None
+        lead_idx = tail_idx = None
+        if "coeffs_tail_bits" in z:
+            import ml_dtypes
+
+            tail = jnp.asarray(z["coeffs_tail_bits"].view(ml_dtypes.bfloat16))
+            lead_idx = tuple(manifest["lead_idx"])
+            tail_idx = tuple(manifest["tail_idx"])
         return Gas(
             nu=jnp.asarray(z["nu"]),
             coeffs=jnp.asarray(z["coeffs"]),
@@ -80,6 +99,9 @@ def load_gas(path: str, fC=1.0) -> Gas:
             mu=manifest["mu"],
             domain=domain,
             fC=as_concentration(fC),
+            coeffs_tail=tail,
+            lead_idx=lead_idx,
+            tail_idx=tail_idx,
         )
 
 

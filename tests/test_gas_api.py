@@ -146,3 +146,52 @@ def test_table_contractions_pin_highest_precision(fixtures_dir):
     # the bake-time Chebyshev transform too
     txt2 = str(jax.make_jaxpr(cheb2d_coeffs)(jnp.ones((3, 4, 5))))
     assert "Precision.HIGHEST" in txt2, "cheb2d_coeffs lost its precision pin"
+
+
+def test_split_precision_accuracy_and_surface(baked, tmp_path):
+    """Split-precision storage (f32/f64 lead + bf16 tail, round 5): the
+    evaluated table must stay within ~3e-3 of the full-precision table —
+    far inside the ~1.3e-2 intrinsic production fit class — and the whole
+    Gas surface (select, checkpoint round-trip) must keep working."""
+    import jax
+    from clearsky_tpu.utils.checkpoint import save_gas, load_gas
+
+    gas, nu, domain = baked
+    gs = gas.split_precision(k=16)
+    assert gs.coeffs.shape[0] == 16
+    assert gs.coeffs_tail.shape[0] == domain.nT * domain.nP - 16
+    assert gs.coeffs_tail.dtype == jnp.bfloat16
+    assert sorted(gs.lead_idx + gs.tail_idx) == list(range(domain.nT * domain.nP))
+
+    T = jnp.asarray(np.linspace(160.0, 340.0, 9))
+    P = jnp.asarray(10 ** np.linspace(1.1, 4.9, 9))
+    full = np.asarray(gas.raw_sigma(T, P))
+    split = np.asarray(gs.raw_sigma(T, P))
+    mask = full > 1e-8 * full.max()
+    rel = np.abs(split - full)[mask] / full[mask]
+    assert rel.max() < 3e-3, f"split-precision error {rel.max():.2e}"
+
+    # select keeps both tensors aligned
+    sel = gs.select(np.arange(0, 48, 2))
+    np.testing.assert_allclose(
+        np.asarray(sel.raw_sigma(T, P)), split[:, ::2], rtol=1e-6
+    )
+
+    # checkpoint round-trips the bf16 tail bit-exactly
+    p = str(tmp_path / "split_gas.npz")
+    save_gas(p, gs)
+    g2 = load_gas(p, fC=gs.fC)
+    np.testing.assert_array_equal(
+        np.asarray(g2.coeffs_tail).view(np.uint16),
+        np.asarray(gs.coeffs_tail).view(np.uint16),
+    )
+    assert g2.lead_idx == gs.lead_idx
+    np.testing.assert_allclose(
+        np.asarray(g2.raw_sigma(T, P)), split, rtol=1e-6
+    )
+
+    # jaxpr guard: the lead contraction keeps its precision pin and the
+    # bf16 tail matmul accumulates at the working dtype (preferred f32/f64)
+    txt = str(jax.make_jaxpr(lambda t, p: gs.raw_sigma(t, p))(T, P))
+    assert "Precision.HIGH" in txt, "split lead matmul lost its precision pin"
+    assert "bf16" in txt and "preferred_element_type" in txt
