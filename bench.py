@@ -255,7 +255,9 @@ def bench_pipeline_olr(n_nu=524288, nlev=20, K=32):
     Te = np.maximum(288.0 * (Pe / PS) ** (R_GAS / (MU * CP)), 160.0)
     lnPe, Tj, Pg = jnp.log(jnp.asarray(Pe)), jnp.asarray(Te), jnp.asarray(Pe)
     dom = AtmosphericDomain.create((150.0, 350.0), 12, (0.9 * PT, 1.01 * PS), 24)
-    A = unify_absorbers((Gas.from_lines(co2, 0.95, nu, dom),))
+    gas = Gas.from_lines(co2, 0.95, nu, dom)
+    A = unify_absorbers((gas,))
+    A_split = unify_absorbers((gas.split_precision(16),))
 
     def olr_core(s, A):
         fTs = lambda P: interp_linear(jnp.log(P), lnPe, Tj + 1e-12 * s)
@@ -263,34 +265,49 @@ def bench_pipeline_olr(n_nu=524288, nlev=20, K=32):
         B = _planck_levels(Pg, A.nu, fTs)
         return outgoing_flux(tau, B, 5)
 
-    @jax.jit
-    def chained(x, A):
-        def body(c, _):
-            return c + 1e-30 * olr_core(c, A).sum(), None
+    def olr_fused(s, gs):
+        from clearsky_tpu.rt.fused_table import table_olr_fused
 
-        c, _ = lax.scan(body, x, None, length=K)
-        return c
+        fTs = lambda P: interp_linear(jnp.log(P), lnPe, Tj + 1e-12 * s)
+        return table_olr_fused(gs, Pg, G, fTs, lambda T, P: MU, 3, 5)
 
     x0 = jnp.asarray(0.0)
-    float(np.asarray(chained(x0, A)))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        float(np.asarray(chained(x0 + 0.01 * i, A)))
-        times.append(time.perf_counter() - t0)
-    rtts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        float((x0 + 1.0 + i).sum())
-        rtts.append(time.perf_counter() - t0)
-    dt = max(min(times) - min(rtts), 1e-9) / K
+
+    def measure(core, arg):
+        @jax.jit
+        def chained(x, a):
+            def body(c, _):
+                return c + 1e-30 * core(c, a).sum(), None
+
+            c, _ = lax.scan(body, x, None, length=K)
+            return c
+
+        float(np.asarray(chained(x0, arg)))
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(chained(x0 + 0.01 * i, arg)))
+            times.append(time.perf_counter() - t0)
+        rtts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float((x0 + 1.0 + i).sum())
+            rtts.append(time.perf_counter() - t0)
+        return max(min(times) - min(rtts), 1e-9) / K
+
+    dt = measure(olr_core, A)
+    dt_fused = measure(olr_fused, gas.split_precision(16))
     # ideal-fusion HBM traffic: coefficient tensor + ln write/read + tau +
     # Planck + the TOA spectrum (see scripts/flux_pipeline_roofline.py)
     L = (nlev - 1) * 3
     nc = 12 * 24
     by = (nc * n_nu + 2 * L * n_nu + (nlev - 1) * n_nu + nlev * n_nu + n_nu) * 4
     roof_s = by / 0.82e12
-    return dt * 1e3, roof_s / dt
+    # the FUSED kernel's true traffic: split coefficients read once + the
+    # Planck rows + the OLR row (no intermediates touch HBM at all)
+    by_f = (16 * 4 + (nc - 16) * 2 + nlev * 4 + 4) * n_nu
+    roof_f = by_f / 0.82e12
+    return dt * 1e3, roof_s / dt, dt_fused * 1e3, roof_f / dt_fused
 
 
 def _cpu_reference_rate(lines, nu_full):
@@ -467,9 +484,15 @@ def main():
         rec["rce_step_ms"] = None
         rec["rce_error"] = repr(e)[:120]
     try:
-        ms, frac = bench_pipeline_olr()
+        ms, frac, ms_fused, frac_fused = bench_pipeline_olr()
         rec["pipeline_olr_table_ms"] = ms
         rec["pipeline_fraction_of_roof"] = frac
+        # the round-5 production path: split-precision coefficients through
+        # the fully-fused coefficients->sigma->tau->march kernel
+        # (rt.fused_table); its roof uses its own (halved, un-intermediated)
+        # byte count
+        rec["pipeline_olr_fused_ms"] = ms_fused
+        rec["pipeline_fused_fraction_of_roof"] = frac_fused
     except Exception as e:  # pragma: no cover
         rec["pipeline_olr_table_ms"] = None
         rec["pipeline_error"] = repr(e)[:120]

@@ -725,11 +725,19 @@ def _coarse_far_params(plan: LineWindowPlan) -> tuple | None:
     Runs at trace time inside the jitted wrapper, where line positions are
     tracers — so sizing uses the plan's grid geometry only: with mean grid
     spacing dbar and block span bs, the fine fraction of dense work is
-    ~(4*d_far + bs)/(2*cut + bs) and the coarse fraction ~Q_COARSE*dbar/d_far
+    ~(4*d_far + bs)/(2*cut + bs) and the coarse fraction ~Q*dbar/d_far
     (coarse point count over fine point count). The optimum
-    d_far = 2*sqrt(dbar*(2*cut+bs)/4*Q/4)... is taken analytically and
-    clamped to the three-zone constraints. Returns (d_far, h, n_cc) or None
-    when the split cannot win.
+    d_far is taken analytically and clamped to the three-zone constraints.
+    Returns (d_far, h, n_cc, c_ratio) or None when the split cannot win.
+
+    Q (coarse points per d_far) adapts to the grid (round 5): the
+    calibration Q = 16 is tried first (sqrt-space cubic interpolation error
+    ~1.5e-5 class relative to the far field); moderately-dense grids — the
+    production full-spectrum configs at ~0.05 cm^-1 spacing — reject Q = 16
+    on the work-fraction bound but accept Q = 8, whose interpolation error
+    is ~2^4 coarser (~2e-4 class relative to the far field, still an order
+    below the far field's share of peak sigma). Band-level accuracy is
+    gated in tests/test_linesum_pallas.py for both classes.
     """
     nu = np.asarray(plan.nu, np.float64)
     if plan.n_nu < 2048:
@@ -739,32 +747,34 @@ def _coarse_far_params(plan: LineWindowPlan) -> tuple | None:
     dbar = float((nu[-1] - nu[0]) / max(plan.n_nu - 1, 1))
     dmax = float(diffs.max())
     bs = plan.block * dbar
-    # minimize fine + coarse work fractions over d_far:
-    # d/dd [4d/(2cut+bs) + Q*dbar/d] = 0
-    d_far = float(np.sqrt(Q_COARSE * dbar * (2.0 * cut + bs) / 4.0))
-    h = d_far / Q_COARSE
-    # uniform fine grids snap h to an exact multiple of the spacing, so the
-    # stencil interpolation is strided slices instead of device gathers
-    # (TPU minor-dim gathers would dominate the saved kernel time)
     uniform = bool(np.all(np.abs(diffs - dbar) <= 1e-9 * max(abs(nu[-1]), 1.0)))
-    c_ratio = 0
-    if uniform:
-        c_ratio = int(h / dbar)
-        if c_ratio < 2:
-            return None
-        h = c_ratio * dbar
-    w_roll = W_ROLL_CELLS * h
-    if cut <= 2.0 * d_far + w_roll:       # three zones must be disjoint
-        return None
-    if h < 2.0 * dmax:                    # coarsening below 2x cannot pay
-        return None
-    fine_frac = (4.0 * d_far + bs) / (2.0 * cut + bs)
-    coarse_frac = dbar / h
-    ann_frac = 2.0 * w_roll / (2.0 * cut + bs)
-    if fine_frac + coarse_frac + ann_frac > 0.6:
-        return None
-    n_cc = int(np.ceil((nu[-1] - nu[0] + 8.0 * h) / h)) + 6
-    return d_far, h, n_cc, c_ratio
+    for Q in (Q_COARSE, 8):
+        # minimize fine + coarse work fractions over d_far:
+        # d/dd [4d/(2cut+bs) + Q*dbar/d] = 0
+        d_far = float(np.sqrt(Q * dbar * (2.0 * cut + bs) / 4.0))
+        h = d_far / Q
+        # uniform fine grids snap h to an exact multiple of the spacing, so
+        # the stencil interpolation is strided slices instead of device
+        # gathers (TPU minor-dim gathers would dominate the saved time)
+        c_ratio = 0
+        if uniform:
+            c_ratio = int(h / dbar)
+            if c_ratio < 2:
+                continue
+            h = c_ratio * dbar
+        w_roll = W_ROLL_CELLS * h
+        if cut <= 2.0 * d_far + w_roll:       # three zones must be disjoint
+            continue
+        if h < 2.0 * dmax:                    # coarsening below 2x cannot pay
+            continue
+        fine_frac = (4.0 * d_far + bs) / (2.0 * cut + bs)
+        coarse_frac = dbar / h
+        ann_frac = 2.0 * w_roll / (2.0 * cut + bs)
+        if fine_frac + coarse_frac + ann_frac > 0.6:
+            continue
+        n_cc = int(np.ceil((nu[-1] - nu[0] + 8.0 * h) / h)) + 6
+        return d_far, h, n_cc, c_ratio
+    return None
 
 
 def _pallas_sigma_coarse(shape, interpret, plan, lines, T, P, Pp, conc,
@@ -1628,20 +1638,30 @@ def sigma_from_lines_pallas(
         # auto-routing a plain "auto" call gets (stencil where it accepts)
         strategy = "auto"
     if strategy == "auto" and shape in ("voigt", "voigt_ref"):
-        # auto-routing: the stencil-near strategy replaces the in-kernel
-        # near sweep (~63% of the split kernel's wall on the CO2 bench;
-        # measured 1.87x at 131072 pts, 3.1x at 16384) whenever the static
-        # geometry accepts and the catalog is VMEM-resident (the segmented
-        # path keeps the in-kernel split). phco2 stays on its coarse-far
-        # auto route (decided inside the jit body).
+        # auto-routing (round 5 order): the coarse-far split first — where
+        # the grid geometry accepts it (dense grids, incl. the adaptive
+        # Q = 8 class of the ~0.05 cm^-1 production full-spectrum configs)
+        # it deletes the far-field work entirely (measured 1.1e11 evals/s
+        # vs the stencil strategy's 2.2e10 on the dense 2^18 band grid) at
+        # a band-gated accuracy cost (tests/test_linesum_pallas.py). The
+        # stencil-near strategy is next: it replaces the in-kernel near
+        # sweep (~63% of the split kernel's wall on the CO2 bench; 1.87x at
+        # 131072 pts, 3.1x at 16384) whenever the static geometry accepts
+        # and the catalog is VMEM-resident (the segmented path keeps the
+        # in-kernel split). phco2 stays on its coarse-far auto route
+        # (decided inside the jit body).
         n_states_est = int(np.prod(np.shape(T))) or 1
         n_lines = int(lines.nu.shape[0])
         limit = _RESIDENT_VMEM_LIMIT if resident_limit is None else int(resident_limit)
-        lane_cost = _grouped_lane_cost(shape, "stencil", n_states_est)
-        if _resident_bytes_est(n_lines, plan.slab, lane_cost) <= limit:
-            geom = _stencil_geom_cached(plan, lines)
-            if geom is not None:
-                strategy = "stencil"
+        if (_coarse_far_params(plan) is not None
+                and _coarse_resident_ok(shape, n_states_est, n_lines, limit)):
+            strategy = "coarse"
+        else:
+            lane_cost = _grouped_lane_cost(shape, "stencil", n_states_est)
+            if _resident_bytes_est(n_lines, plan.slab, lane_cost) <= limit:
+                geom = _stencil_geom_cached(plan, lines)
+                if geom is not None:
+                    strategy = "stencil"
     if strategy == "stencil" and shape in _SPLIT_SHAPES:
         geom = _stencil_geom_cached(plan, lines)
         if geom is not None:
@@ -1682,8 +1702,10 @@ def sigma_from_lines_pallas_device(
     if (
         dplan.coarse_meta is not None
         and shape in _SPLIT_SHAPES
-        and (strategy == "coarse"
-             or (strategy == "auto" and shape.startswith("phco2")))
+        and strategy in ("coarse", "auto")
+        # "auto" mirrors the static path's round-5 routing: coarse engages
+        # for BOTH phco2 and voigt wherever shard_line_gas prebuilt the
+        # grids (it only does so where the static geometry accepted)
     ):
         n_states = jnp.atleast_1d(jnp.asarray(T)).shape[0]
         if _coarse_resident_ok(

@@ -32,7 +32,7 @@ from ..constants import N_AVOGADRO
 from ..ops.planck import planck
 from ..utils.quadrature import stream_nodes, lobatto_unit_nodes
 from ..utils.grids import trapz
-from .march_pallas import _one_minus_exp_neg
+from .march_pallas import _one_minus_exp_neg, _trans_emit
 
 __all__ = [
     "FluxPack",
@@ -224,10 +224,13 @@ def _march(tau, m, B_lo, B_hi, I0, W=None, reverse=False):
         # around: its absolute error is ~1 ulp of 1, and t only ever
         # multiplies the carried intensity, so the march stays at f32
         # roundoff even for opaque layers where t's RELATIVE error is large
-        # (t ~ 1e-10 +- 6e-8 transmits nothing either way).
-        omt, t = _one_minus_exp_neg(tm)
-        Be = layer_planck(b1[None, :], b2[None, :], tm, t, omt)
-        I = I * t + Be
+        # (t ~ 1e-10 +- 6e-8 transmits nothing either way). Round 5: the
+        # emission ratio omt/tau is the omt series' own inner factor, so
+        # _trans_emit shares ONE series between them instead of
+        # layer_planck re-deriving it (four fewer full-vreg ops per layer).
+        t, omt, ratio = _trans_emit(tm)
+        dB = b1[None, :] - b2[None, :]
+        I = I * t + (b2[None, :] * omt - dB * t + ratio * dB)
         # pinned: the default TPU matmul truncates to bf16 — a 0.4% error
         # class on the emitted fluxes (the kernel path sums this exactly)
         return I, (None if W is None else jnp.matmul(
@@ -443,6 +446,71 @@ def _monoflux_kernel_jvp(nstream, thermal_only, primals, tangents):
     return jax.jvp(fn, primals, tangents)
 
 
+@_lru_cache(maxsize=None)
+def _cp_olr(nstream: int, interpret: bool):
+    """TOA-only march kernel under custom_partitioning (same shard-along-nu
+    story as :func:`_cp_monoflux`)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .march_pallas import olr_pallas
+
+    m, W = stream_nodes(nstream)
+
+    def impl(tau, B, mw):
+        return olr_pallas(tau, B, m, W, interpret=interpret, mw=mw)
+
+    fn = custom_partitioning(impl)
+
+    def _nu_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[-1] if len(spec) else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_nu_axis(arg_shapes)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        nu = _nu_axis(arg_shapes)
+        s2 = NamedSharding(mesh, P(None, nu))
+        srep = NamedSharding(mesh, P(None, None))
+        return mesh, impl, NamedSharding(mesh, P(nu)), (s2, s2, srep)
+
+    fn.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="l n, m n, p q -> n",
+    )
+    return fn
+
+
+def _olr_scan(tau, B, nstream: int):
+    """Scan-path twin of the TOA-only kernel (oracle + JVP tangent path)."""
+    m, W = stream_nodes(nstream)
+    m = jnp.asarray(m, dtype=tau.dtype)
+    W = jnp.asarray(W, dtype=tau.dtype)
+    n_nu = tau.shape[1]
+    I_surf = jnp.broadcast_to(B[-1][None, :], (len(W), n_nu))
+    I_toa, _ = _march(tau, m, B[1:], B[:-1], I_surf, reverse=True)
+    return jnp.einsum("k,kv->v", W, I_toa,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(2,))
+def _olr_kernel_path(tau, B, nstream):
+    from .march_pallas import olr_pallas, pack_mw
+
+    interpret = _MARCH_MODE.get() == "interpret"
+    m, W = stream_nodes(nstream)
+    if len(jax.devices()) > 1:
+        mw = jnp.asarray(pack_mw(m, W), dtype=tau.dtype)
+        return _cp_olr(nstream, interpret)(tau, B, mw)
+    return olr_pallas(tau, B, m, W, interpret=interpret)
+
+
+@_olr_kernel_path.defjvp
+def _olr_kernel_jvp(nstream, primals, tangents):
+    return jax.jvp(_partial(_olr_scan, nstream=nstream), primals, tangents)
+
+
 def outgoing_flux(tau, B, nstream: int, vertical: bool = False):
     """Outgoing monochromatic flux at TOA [n_nu]: upward march from surface Planck.
 
@@ -465,11 +533,10 @@ def outgoing_flux(tau, B, nstream: int, vertical: bool = False):
     # and np.asarray(m) would raise TracerArrayConversionError
     nstream, n_nu = len(m), tau.shape[1]
     if not vertical and _march_kernel_ok(tau, nstream):
-        z = jnp.zeros((n_nu,), dtype=tau.dtype)
-        M_up, _ = _monoflux_kernel_path(
-            tau, B, z, z, jnp.asarray(1.0, dtype=tau.dtype), nstream, True
-        )
-        return M_up[0]
+        # TOA-only kernel (round 5): skips the per-layer weighted
+        # reductions and [L, n_nu] flux writes of the full march — only the
+        # final TOA intensity is reduced
+        return _olr_kernel_path(tau, B, nstream)
     m = jnp.asarray(m, dtype=tau.dtype)
     W = jnp.asarray(W, dtype=tau.dtype)
     I_surf = jnp.broadcast_to(B[-1][None, :], (nstream, n_nu))

@@ -288,9 +288,48 @@ def outgoing(
             cache, Pgrid[-1], Pgrid[0], g, nstream=core.nstream,
             tol=core.tol, vertical=vertical, max_steps=core.max_steps,
         )
+    if not vertical and _fused_table_ok(A, Pg.shape[0] - 1, nstream):
+        # round-5 fast path: single split-precision table gas -> the fully
+        # fused coefficients->sigma->tau->march kernel (rt.fused_table),
+        # 1.6x the unfused pipeline at 2^19 on hardware (band OLR delta
+        # 3.6e-7 vs unfused; gated in tests/test_fused_table.py)
+        from ..absorption.absorbers import AbsorberStack
+        from .discretized import _MARCH_MODE
+        from .fused_table import table_olr_fused
+
+        gas = A.gases[0] if isinstance(A, AbsorberStack) else A
+        return table_olr_fused(gas, Pg, g, fT, fmu, nlobatto, nstream,
+                               interpret=_MARCH_MODE.get() == "interpret")
     tau = _column_tau(Pg, g, fT, fmu, A, nlobatto)
     B = _planck_levels(Pg, A.nu, fT)
     return outgoing_flux(tau, B, nstream, vertical=vertical)
+
+
+def _fused_table_ok(A, L: int, nstream: int) -> bool:
+    """Auto-route gate for the fused table-OLR kernel: production table
+    absorber (one split-precision Gas), TPU backend (or forced interpret),
+    kernel shape bounds, single device (no partitioning wrapper yet —
+    sharded programs keep the unfused path, whose march IS partitioned)."""
+    import jax as _jax
+
+    from .discretized import _MARCH_MODE, _USE_MARCH_KERNEL
+    from .fused_table import fused_table_applicable
+    from .march_pallas import MAX_LAYERS
+
+    mode = _MARCH_MODE.get()
+    if mode == "off" or not _USE_MARCH_KERNEL:
+        return False
+    # interpret is a forced testing mode (CPU suite, any device count);
+    # otherwise require the TPU backend and a single device
+    backend_ok = mode == "interpret" or (
+        _jax.default_backend() == "tpu" and len(_jax.devices()) == 1
+    )
+    return (
+        backend_ok
+        and 1 <= L <= MAX_LAYERS
+        and nstream <= 8
+        and fused_table_applicable(A)
+    )
 
 
 def monochromatic_fluxes(

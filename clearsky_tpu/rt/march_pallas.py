@@ -41,44 +41,59 @@ MAX_LAYERS = 128   # static-unroll guard; beyond this the XLA scan is used
 _INV_PI = float(1.0 / np.pi)
 
 
-def _one_minus_exp_neg(tm):
-    """(-expm1(-tm), exp-equivalent transmittance) without the expm1
-    primitive, which Mosaic does not lower.
+def _ratio_series(tm):
+    """(1 - e^-tm)/tm = sum_k (-tm)^k/(k+1)!, valid below the 0.25 switch.
+
+    f32 keeps 7 terms (truncation <= 0.25^7/8! ~ 1.5e-9 relative at the
+    switch — an order below f32 roundoff); f64 keeps 11 (< 2.4e-14)."""
+    if jnp.asarray(tm).dtype == jnp.float32:
+        return 1.0 - tm * (0.5 - tm * ((1.0 / 6.0) - tm * (
+            (1.0 / 24.0) - tm * ((1.0 / 120.0) - tm * ((1.0 / 720.0)
+                                                       - tm * (1.0 / 5040.0))))))
+    return 1.0 - tm * (0.5 - tm * ((1.0 / 6.0) - tm * (
+        (1.0 / 24.0) - tm * ((1.0 / 120.0) - tm * ((1.0 / 720.0) - tm * (
+            (1.0 / 5040.0) - tm * ((1.0 / 40320.0) - tm * (
+                (1.0 / 362880.0) - tm * (1.0 / 3628800.0)))))))))
+
+
+def _trans_emit(tm):
+    """(t, omt, ratio): transmittance e^-tm, its complement -expm1(-tm), and
+    the linear-in-tau emission ratio omt/tm — all from ONE exp and ONE
+    series evaluation (round 5: the kernel previously evaluated a separate
+    3-term ratio series inside layer_planck on top of the omt series; the
+    ratio series IS the omt series' inner factor, so sharing it deletes
+    ~4 full-vreg ops per layer per sweep).
 
     Forming 1 - exp(-tm) directly is the documented f32 catastrophe for
-    transparent layers (rt.discretized.layer_planck), so below tm = 0.25 the
-    alternating series through t^10/10! is used — truncation < 2.4e-14
-    relative at the switch point, below the 1e-12 CPU f64 oracle gates even
-    with layer accumulation. Above the switch, 1 - exp(-tm) costs at most
-    one ulp of exp absolute (6e-8 in f32), i.e. <= 2.7e-7 relative at
-    tm = 0.25 — the f32 roundoff floor of the march itself. (A first cut
-    switched at 0.01 and measured 4e-5 march-accumulated disagreement vs
-    the expm1 scan path on real TPU; the wide series brings the TPU
-    agreement to the 1e-6 class.)
+    transparent layers, and XLA's TPU expm1 lowering measures 1.1e-4 max
+    relative error near tm ~ 0.013 (round 4) — hence the series/exp split
+    at tm = 0.25: below it omt = tm * ratio_series (exact to f32 roundoff),
+    above it 1 - e costs at most one ulp of exp absolute, <= 2.7e-7
+    relative at the switch. ratio has no 0/0 hazard this way: the series
+    needs no divide, and the large branch divides by tm >= 0.25.
     """
     e = jnp.exp(-tm)
-    if jnp.asarray(tm).dtype == jnp.float32:
-        # f32 needs only 7 terms: truncation <= 0.25^8/8! ~ 1.5e-9 relative
-        # at the switch — an order below f32 roundoff
-        p = tm * (1.0 - tm * (0.5 - tm * ((1.0 / 6.0) - tm * (
-            (1.0 / 24.0) - tm * ((1.0 / 120.0) - tm * ((1.0 / 720.0)
-                                                       - tm * (1.0 / 5040.0)))))))
-    else:
-        p = tm * (1.0 - tm * (0.5 - tm * ((1.0 / 6.0) - tm * (
-            (1.0 / 24.0) - tm * ((1.0 / 120.0) - tm * ((1.0 / 720.0) - tm * (
-                (1.0 / 5040.0) - tm * ((1.0 / 40320.0) - tm * (
-                    (1.0 / 362880.0) - tm * (1.0 / 3628800.0))))))))))
-    omt = jnp.where(tm < 0.25, p, 1.0 - e)
-    return omt, 1.0 - omt
+    r = _ratio_series(tm)
+    small = tm < 0.25
+    omt_l = 1.0 - e
+    ratio = jnp.where(small, r, omt_l / jnp.where(small, 1.0, tm))
+    omt = jnp.where(small, tm * r, omt_l)
+    return 1.0 - omt, omt, ratio
 
 
-def _layer_planck(b1, b2, tm, t, omt):
-    """Linear-in-tau layer emission on kernel values (rt.discretized.layer_planck;
-    series below tau = 1e-3 keeps the 0/0 ratio exact in f32)."""
+def _one_minus_exp_neg(tm):
+    """(-expm1(-tm), exp-equivalent transmittance) without the expm1
+    primitive, which Mosaic does not lower. See :func:`_trans_emit` for the
+    accuracy notes; XLA dead-code-eliminates the unused ratio here."""
+    t, omt, _ = _trans_emit(tm)
+    return omt, t
+
+
+def _layer_planck(b1, b2, t, omt, ratio):
+    """Linear-in-tau layer emission on kernel values
+    (rt.discretized.layer_planck) with the stable ratio = omt/tm already
+    computed by :func:`_trans_emit`."""
     dB = b1 - b2
-    small = tm < 1e-3
-    safe = jnp.where(small, 1.0, tm)
-    ratio = jnp.where(small, 1.0 - tm * 0.5 + tm * tm * (1.0 / 6.0), omt / safe)
     return b2 * omt - dB * t + ratio * dB
 
 
@@ -120,8 +135,8 @@ def _march_kernel(tau_ref, B_ref, S_ref, a_ref, mw_ref, c_ref,
             b1 = B_ref[pl.ds(l, 1), :]
             b2 = B_ref[pl.ds(l + 1, 1), :]
             tm = tl * m_beam                     # [8, NB]
-            omt, t = _one_minus_exp_neg(tm)      # see rt.discretized._march
-            I = I * t + _layer_planck(b1, b2, tm, t, omt)
+            t, omt, ratio = _trans_emit(tm)      # see rt.discretized._march
+            I = I * t + _layer_planck(b1, b2, t, omt, ratio)
             if beam_row is not None:
                 bm = bm * t[beam_row:beam_row + 1, :]
             else:
@@ -141,9 +156,64 @@ def _march_kernel(tau_ref, B_ref, S_ref, a_ref, mw_ref, c_ref,
         b1 = B_ref[pl.ds(l + 1, 1), :]           # enter from below
         b2 = B_ref[pl.ds(l, 1), :]
         tm = tl * m
-        omt, t = _one_minus_exp_neg(tm)
-        I = I * t + _layer_planck(b1, b2, tm, t, omt)
+        t, omt, ratio = _trans_emit(tm)
+        I = I * t + _layer_planck(b1, b2, t, omt, ratio)
         mu_ref[pl.ds(l, 1), :] = jnp.sum(W * I, axis=0, keepdims=True)
+
+
+def _olr_kernel(tau_ref, B_ref, mw_ref, o_ref, *, L):
+    """TOA-only upward march (the ``outgoing_flux`` hot path): identical
+    physics to the up-sweep of :func:`_march_kernel`, but the per-layer
+    weighted reductions and [L, NB] flux writes are dropped — only the final
+    TOA intensity is reduced. Saves ~25% of the up-march instruction count
+    and L rows of HBM writes per block."""
+    m = mw_ref[pl.ds(0, 8), :]
+    W = mw_ref[pl.ds(8, 8), :]
+    nb = tau_ref.shape[1]
+    I = jnp.broadcast_to(B_ref[pl.ds(L, 1), :], (8, nb)) \
+        * jnp.ones((8, 1), tau_ref.dtype)
+    for l in range(L - 1, -1, -1):
+        tl = tau_ref[pl.ds(l, 1), :]
+        b1 = B_ref[pl.ds(l + 1, 1), :]
+        b2 = B_ref[pl.ds(l, 1), :]
+        tm = tl * m
+        t, omt, ratio = _trans_emit(tm)
+        I = I * t + _layer_planck(b1, b2, t, omt, ratio)
+    o_ref[pl.ds(0, 1), :] = jnp.sum(W * I, axis=0, keepdims=True)
+
+
+def olr_pallas(tau, B, m, W, interpret: bool = False,
+               block_n: int = BLOCK_N, mw=None):
+    """Outgoing monochromatic flux at TOA [n_nu] via the TOA-only fused march.
+
+    Semantics of ``rt.discretized.outgoing_flux`` (surface Planck emission
+    marched upward through hemispheric streams; the reference's working
+    ``outgoing``, ref fluxes.jl:133-158)."""
+    dt = tau.dtype
+    L, N = tau.shape
+    if not (1 <= L <= MAX_LAYERS):
+        raise ValueError(f"olr kernel needs 1 <= L <= {MAX_LAYERS}, got {L}")
+    if mw is None:
+        mw = jnp.asarray(pack_mw(m, W), dtype=dt)
+    else:
+        mw = mw.astype(dt)
+    Np = -(-N // block_n) * block_n
+    pad = Np - N
+    if pad:
+        tau = jnp.pad(tau, ((0, 0), (0, pad)))
+        B = jnp.pad(B, ((0, 0), (0, pad)))
+    grid = (Np // block_n,)
+    blk = lambda r: pl.BlockSpec((r, block_n), lambda i: (0, i))
+    fix = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))
+    out = pl.pallas_call(
+        partial(_olr_kernel, L=L),
+        grid=grid,
+        in_specs=[blk(L), blk(L + 1), fix(16, 1)],
+        out_specs=blk(1),
+        out_shape=jax.ShapeDtypeStruct((1, Np), dt),
+        interpret=interpret,
+    )(tau, B, mw)
+    return out[0, :N]
 
 
 def pack_mw(m, W, dtype=np.float64) -> np.ndarray:

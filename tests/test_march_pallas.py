@@ -108,3 +108,36 @@ def test_kernel_jvp_rides_the_scan_path(monkeypatch):
     J_s = jax.jacfwd(via_scan)(tau)
     np.testing.assert_allclose(np.asarray(J_k), np.asarray(J_s),
                                rtol=1e-11, atol=1e-13)
+
+
+@pytest.mark.parametrize("nstream", [1, 5, 8])
+def test_olr_kernel_matches_scan_oracle(nstream):
+    """The TOA-only kernel (round 5) against the scan OLR on the adversarial
+    column, including non-block-multiple widths."""
+    from clearsky_tpu.rt.march_pallas import olr_pallas
+
+    tau, B, S, a = _column(N=1500)
+    m, W = stream_nodes(nstream)
+    olr_k = olr_pallas(tau, B, m, W, interpret=True)
+    olr_o = disc._olr_scan(tau, B, nstream)
+    np.testing.assert_allclose(np.asarray(olr_k), np.asarray(olr_o),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_olr_kernel_path_jvp_rides_scan(monkeypatch):
+    """jacfwd through outgoing_flux on the kernel path must agree with the
+    scan path (the custom JVP routes tangents through _olr_scan)."""
+    from clearsky_tpu.rt import march_pallas as mp
+
+    tau, B, S, a = _column(L=6, N=256)
+    orig = mp.olr_pallas
+    monkeypatch.setattr(
+        mp, "olr_pallas",
+        lambda *args, **kw: orig(*args, **{**kw, "interpret": True}),
+    )
+    with disc.march_kernel_mode("interpret"):
+        f_k = lambda t: disc.outgoing_flux(t, B, 5).sum()
+        g_k = jax.grad(f_k)(tau)
+    g_o = jax.grad(lambda t: disc._olr_scan(t, B, 5).sum())(tau)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_o),
+                               rtol=1e-10, atol=1e-12)
