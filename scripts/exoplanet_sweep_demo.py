@@ -77,7 +77,8 @@ def batch_curve(args):
 
     MU, CP = 0.044, 850.0
     base = None
-    for nlat in (8, 16, 32, 64, 128, 256):
+    prev_rate = None
+    for nlat in (8, 16, 32, 64, 128, 256, 512, 1024):
         a = copy.copy(args)
         a.nlat = nlat
         theta, F = annualfluxfactors(args.ecc, args.obliquity, 0.0, ntheta=nlat)
@@ -107,8 +108,11 @@ def batch_curve(args):
         rate = nlat * K / dt
         if base is None:
             base = rate
+        marg = "" if prev_rate is None else f", marginal {rate/prev_rate/2:.2f}x/doubling"
+        prev_rate = rate
         print(f"  nlat {nlat:4d}: {rate:8.1f} column-steps/s  "
-              f"({dt/K*1e3:7.2f} ms/sweep-step, {rate/base:5.2f}x of nlat=8)",
+              f"({dt/K*1e3:7.2f} ms/sweep-step, {rate/base:5.2f}x of nlat=8"
+              f"{marg})",
               flush=True)
 
 
