@@ -257,10 +257,14 @@ def shard_line_gas(gas, n_shards: int, block: int | None = None) -> ShardedLineG
     # coarse points otherwise miss lines in (cut, cut+2h] of themselves
     from ..ops.linesum_pallas import _coarse_far_params, _fine_block
 
-    cmeta = _coarse_far_params(build_line_window_plan(
-        nu[: n_nu // n_shards], nu_l, cut, block=block))
+    shard_plan0 = build_line_window_plan(
+        nu[: n_nu // n_shards], nu_l, cut, block=block)
+    cmeta = _coarse_far_params(shard_plan0)
     if cmeta is not None and cmeta[3] < 2:
         cmeta = None
+    # auto-routing eligibility mirrors the static wrapper's stricter bound
+    cauto = cmeta is not None and \
+        _coarse_far_params(shard_plan0, frac_limit=0.2) is not None
     halo = cut + (4.0 * cmeta[1] if cmeta is not None else 0.0)
 
     bounds, plans = [], []
@@ -331,6 +335,7 @@ def shard_line_gas(gas, n_shards: int, block: int | None = None) -> ShardedLineG
         coarse_blocks=cb_hi,
         coarse_blocks_lo=cb_lo,
         coarse_meta=cmeta,
+        coarse_auto=cauto,
     )
 
     def stack_field(name):

@@ -180,6 +180,13 @@ class DeviceWindowPlan:
     coarse_meta: tuple | None = dataclasses.field(
         metadata=dict(static=True), default=None
     )
+    # True when the split also passes the stricter AUTO-routing work-
+    # fraction bound (0.2) — mirrors the static wrapper's round-5 policy:
+    # plain "auto" only takes the coarse route on line-resolving grids
+    # where it beats the stencil incumbent (hardware-measured)
+    coarse_auto: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     @classmethod
     def from_plan(cls, plan: LineWindowPlan) -> "DeviceWindowPlan":

@@ -719,7 +719,7 @@ Q_COARSE = 16
 W_ROLL_CELLS = 4
 
 
-def _coarse_far_params(plan: LineWindowPlan) -> tuple | None:
+def _coarse_far_params(plan: LineWindowPlan, frac_limit: float = 0.6) -> tuple | None:
     """Static (grid-only) applicability/sizing of the coarse-far split.
 
     Runs at trace time inside the jitted wrapper, where line positions are
@@ -747,7 +747,16 @@ def _coarse_far_params(plan: LineWindowPlan) -> tuple | None:
     dbar = float((nu[-1] - nu[0]) / max(plan.n_nu - 1, 1))
     dmax = float(diffs.max())
     bs = plan.block * dbar
-    uniform = bool(np.all(np.abs(diffs - dbar) <= 1e-9 * max(abs(nu[-1]), 1.0)))
+    # "uniform" admits f32-quantized uniform grids (x64-off catalogs build
+    # f32 grids whose f64 upcast carries ulp-level spacing jitter, ~2% of
+    # dbar at 2^19 production spans): position jitter eps shifts the
+    # interpolation sample by eps/h <= 5% of a coarse cell, an
+    # ~eps/d_far <= 1e-3-relative perturbation of a far field that is
+    # smooth on the d_far scale — far below the split's documented class.
+    # The exact grid values still decide membership in-kernel (two-float
+    # masks) and the fine blocks use the true grid; only the coarse-node
+    # PLACEMENT assumes ideal spacing.
+    uniform = bool(np.all(np.abs(diffs - dbar) <= 0.05 * dbar))
     for Q in (Q_COARSE, 8):
         # minimize fine + coarse work fractions over d_far:
         # d/dd [4d/(2cut+bs) + Q*dbar/d] = 0
@@ -770,7 +779,14 @@ def _coarse_far_params(plan: LineWindowPlan) -> tuple | None:
         fine_frac = (4.0 * d_far + bs) / (2.0 * cut + bs)
         coarse_frac = dbar / h
         ann_frac = 2.0 * w_roll / (2.0 * cut + bs)
-        if fine_frac + coarse_frac + ann_frac > 0.6:
+        # frac_limit: 0.6 for an explicit strategy="coarse" request (the
+        # split still beats the GROUPED kernel there); the voigt
+        # auto-routing passes 0.2 — measured on hardware, the split only
+        # beats the STENCIL incumbent on line-resolving grids (round-3
+        # dense 2^18: sum ~0.07, 5x win; the 0.05 cm^-1 production
+        # full-spectrum class: sum ~0.49, 2.3x LOSS through the production
+        # dispatcher — scripts/probe_stencil_overhead.py round-5 notes)
+        if fine_frac + coarse_frac + ann_frac > frac_limit:
             continue
         n_cc = int(np.ceil((nu[-1] - nu[0] + 8.0 * h) / h)) + 6
         return d_far, h, n_cc, c_ratio
@@ -1653,7 +1669,7 @@ def sigma_from_lines_pallas(
         n_states_est = int(np.prod(np.shape(T))) or 1
         n_lines = int(lines.nu.shape[0])
         limit = _RESIDENT_VMEM_LIMIT if resident_limit is None else int(resident_limit)
-        if (_coarse_far_params(plan) is not None
+        if (_coarse_far_params(plan, frac_limit=0.2) is not None
                 and _coarse_resident_ok(shape, n_states_est, n_lines, limit)):
             strategy = "coarse"
         else:
@@ -1702,10 +1718,14 @@ def sigma_from_lines_pallas_device(
     if (
         dplan.coarse_meta is not None
         and shape in _SPLIT_SHAPES
-        and strategy in ("coarse", "auto")
-        # "auto" mirrors the static path's round-5 routing: coarse engages
-        # for BOTH phco2 and voigt wherever shard_line_gas prebuilt the
-        # grids (it only does so where the static geometry accepted)
+        and (
+            strategy == "coarse"
+            or (strategy == "auto" and shape.startswith("phco2"))
+            # voigt "auto" mirrors the static wrapper's round-5 policy:
+            # only where the stricter work-fraction bound accepted
+            # (shard_line_gas sets coarse_auto from frac_limit=0.2)
+            or (strategy == "auto" and dplan.coarse_auto)
+        )
     ):
         n_states = jnp.atleast_1d(jnp.asarray(T)).shape[0]
         if _coarse_resident_ok(
