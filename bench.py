@@ -257,7 +257,7 @@ def bench_pipeline_olr(n_nu=524288, nlev=20, K=32):
     dom = AtmosphericDomain.create((150.0, 350.0), 12, (0.9 * PT, 1.01 * PS), 24)
     gas = Gas.from_lines(co2, 0.95, nu, dom)
     A = unify_absorbers((gas,))
-    A_split = unify_absorbers((gas.split_precision(16),))
+    gas_split = gas.split_precision(16)
 
     def olr_core(s, A):
         fTs = lambda P: interp_linear(jnp.log(P), lnPe, Tj + 1e-12 * s)
@@ -296,7 +296,7 @@ def bench_pipeline_olr(n_nu=524288, nlev=20, K=32):
         return max(min(times) - min(rtts), 1e-9) / K
 
     dt = measure(olr_core, A)
-    dt_fused = measure(olr_fused, gas.split_precision(16))
+    dt_fused = measure(olr_fused, gas_split)
     # ideal-fusion HBM traffic: coefficient tensor + ln write/read + tau +
     # Planck + the TOA spectrum (see scripts/flux_pipeline_roofline.py)
     L = (nlev - 1) * 3

@@ -259,12 +259,14 @@ def shard_line_gas(gas, n_shards: int, block: int | None = None) -> ShardedLineG
 
     shard_plan0 = build_line_window_plan(
         nu[: n_nu // n_shards], nu_l, cut, block=block)
-    cmeta = _coarse_far_params(shard_plan0)
+    # auto-routing eligibility mirrors the static wrapper's stricter bound;
+    # when it holds, the EXECUTED params are the 0.2-accepted ones (so the
+    # kernel runs the Q that justified the route — review finding)
+    cmeta02 = _coarse_far_params(shard_plan0, frac_limit=0.2)
+    cmeta = cmeta02 if cmeta02 is not None else _coarse_far_params(shard_plan0)
     if cmeta is not None and cmeta[3] < 2:
         cmeta = None
-    # auto-routing eligibility mirrors the static wrapper's stricter bound
-    cauto = cmeta is not None and \
-        _coarse_far_params(shard_plan0, frac_limit=0.2) is not None
+    cauto = cmeta is not None and cmeta02 is not None
     halo = cut + (4.0 * cmeta[1] if cmeta is not None else 0.0)
 
     bounds, plans = [], []

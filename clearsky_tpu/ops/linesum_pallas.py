@@ -747,16 +747,23 @@ def _coarse_far_params(plan: LineWindowPlan, frac_limit: float = 0.6) -> tuple |
     dbar = float((nu[-1] - nu[0]) / max(plan.n_nu - 1, 1))
     dmax = float(diffs.max())
     bs = plan.block * dbar
-    # "uniform" admits f32-quantized uniform grids (x64-off catalogs build
-    # f32 grids whose f64 upcast carries ulp-level spacing jitter, ~2% of
-    # dbar at 2^19 production spans): position jitter eps shifts the
-    # interpolation sample by eps/h <= 5% of a coarse cell, an
-    # ~eps/d_far <= 1e-3-relative perturbation of a far field that is
-    # smooth on the d_far scale — far below the split's documented class.
-    # The exact grid values still decide membership in-kernel (two-float
-    # masks) and the fine blocks use the true grid; only the coarse-node
-    # PLACEMENT assumes ideal spacing.
-    uniform = bool(np.all(np.abs(diffs - dbar) <= 0.05 * dbar))
+    # Lattice deviation for the uniformity decision: the strided
+    # interpolation path assumes nu[i] = nu[0] + i*dbar, so what must be
+    # bounded is each point's CUMULATIVE deviation from that ideal lattice
+    # (a per-interval jitter bound would admit chirped/multi-segment grids
+    # whose drift accumulates to many coarse cells — round-5 review
+    # finding, reproduced at 1.8e-2 sigma error). f32-quantized uniform
+    # grids (x64-off pipelines) deviate by at most one f32 ulp of the
+    # largest wavenumber — a tiny fraction of any admissible coarse cell —
+    # and still pass; genuinely non-uniform grids take the exact
+    # host-precomputed gather stencil instead. The bound is checked
+    # against each candidate h below: deviation eps shifts the
+    # interpolation sample by eps/h, perturbing a d_far-smooth far field
+    # by ~eps/d_far relative — <= 0.05*h keeps that far below the split's
+    # documented accuracy class.
+    lattice_dev = float(
+        np.abs(nu - (nu[0] + np.arange(nu.shape[0]) * dbar)).max()
+    )
     for Q in (Q_COARSE, 8):
         # minimize fine + coarse work fractions over d_far:
         # d/dd [4d/(2cut+bs) + Q*dbar/d] = 0
@@ -766,7 +773,7 @@ def _coarse_far_params(plan: LineWindowPlan, frac_limit: float = 0.6) -> tuple |
         # the stencil interpolation is strided slices instead of device
         # gathers (TPU minor-dim gathers would dominate the saved time)
         c_ratio = 0
-        if uniform:
+        if lattice_dev <= 0.05 * h:
             c_ratio = int(h / dbar)
             if c_ratio < 2:
                 continue
@@ -1533,7 +1540,7 @@ def _pallas_sigma_impl(shape, interpret, cut, B, n_blocks, slab, n_nu,
 @partial(
     jax.jit,
     static_argnames=("plan", "shape", "interpret", "strategy", "lgroup",
-                     "resident_limit", "stencil_meta"),
+                     "resident_limit", "stencil_meta", "coarse_frac_limit"),
 )
 def _sigma_from_lines_pallas_jit(
     plan: LineWindowPlan,
@@ -1549,6 +1556,7 @@ def _sigma_from_lines_pallas_jit(
     resident_limit: int | None = None,
     stencil_meta=None,
     stencil_arrays=None,
+    coarse_frac_limit: float = 0.6,
 ):
     limit = _RESIDENT_VMEM_LIMIT if resident_limit is None else int(resident_limit)
     if strategy == "auto" and shape.startswith("phco2"):
@@ -1565,7 +1573,7 @@ def _sigma_from_lines_pallas_jit(
         # back to the standard grouped kernel when the geometry or VMEM
         # budget says no (see _coarse_far_params / _pallas_sigma_coarse)
         if shape in _SPLIT_SHAPES:
-            params = _coarse_far_params(plan)
+            params = _coarse_far_params(plan, frac_limit=coarse_frac_limit)
             if params is not None:
                 out = _pallas_sigma_coarse(
                     shape, interpret, plan, lines, T, P, Pp, conc, lgroup,
@@ -1643,6 +1651,7 @@ def sigma_from_lines_pallas(
     concrete build has happened.
     """
     stencil_meta = stencil_arrays = None
+    coarse_frac_limit = 0.6
     if shape in _SPLIT_SHAPES:
         # opportunistic warm while line data is concrete: the jit body
         # (incl. the coarse fine pass) sees traced catalogs and can only
@@ -1672,6 +1681,7 @@ def sigma_from_lines_pallas(
         if (_coarse_far_params(plan, frac_limit=0.2) is not None
                 and _coarse_resident_ok(shape, n_states_est, n_lines, limit)):
             strategy = "coarse"
+            coarse_frac_limit = 0.2
         else:
             lane_cost = _grouped_lane_cost(shape, "stencil", n_states_est)
             if _resident_bytes_est(n_lines, plan.slab, lane_cost) <= limit:
@@ -1687,6 +1697,7 @@ def sigma_from_lines_pallas(
         plan, lines, T, P, Pp, shape=shape, interpret=interpret, conc=conc,
         strategy=strategy, lgroup=lgroup, resident_limit=resident_limit,
         stencil_meta=stencil_meta, stencil_arrays=stencil_arrays,
+        coarse_frac_limit=coarse_frac_limit,
     )
 
 

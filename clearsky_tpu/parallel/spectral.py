@@ -100,12 +100,18 @@ def sharded_radiate(mesh: Mesh, rcm) -> FluxPack:
     n_nu = rcm.nu.shape[0]
     _check_divisible(n_nu, mesh)
     rcm_s = shard_spectral(shard_lbl(rcm, mesh.shape["nu"]), mesh, n_nu)
-    # The march kernel participates in GSPMD partitioning directly: its
-    # pallas_call is wrapped in custom_partitioning with an exact
-    # shard-along-nu rule (rt.discretized._cp_monoflux), so no scan pin is
-    # needed — each device runs the fused kernel on its local spectral slab
-    # (round-4 pinned the 2.1x-slower scan here; VERDICT r4 missing #1).
-    return jax.jit(rcm_mod.radiate_state)(rcm_s)
+    # The march kernel participates in GSPMD partitioning directly: inside
+    # the march_gspmd scope its pallas_call is wrapped in
+    # custom_partitioning with an exact shard-along-nu rule
+    # (rt.discretized._cp_monoflux), so no scan pin is needed — each device
+    # runs the fused kernel on its local spectral slab (round-4 pinned the
+    # 2.1x-slower scan here). The scope is entered HERE, not globally:
+    # custom_partitioning has no batching rule, so vmapped flux paths
+    # elsewhere must keep the plain pallas_call.
+    from ..rt.discretized import march_gspmd
+
+    with march_gspmd():
+        return jax.jit(rcm_mod.radiate_state)(rcm_s)
 
 
 def _check_divisible(n_nu: int, mesh: Mesh):

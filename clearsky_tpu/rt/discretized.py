@@ -32,7 +32,7 @@ from ..constants import N_AVOGADRO
 from ..ops.planck import planck
 from ..utils.quadrature import stream_nodes, lobatto_unit_nodes
 from ..utils.grids import trapz
-from .march_pallas import _one_minus_exp_neg, _trans_emit
+from .march_pallas import _trans_emit
 
 __all__ = [
     "FluxPack",
@@ -314,6 +314,27 @@ import contextlib as _contextlib
 
 _MARCH_MODE = _contextvars.ContextVar("march_kernel_mode", default="auto")
 
+# Scoped opt-in for the custom_partitioning march wrappers. They are only
+# needed when the kernel's operands are GLOBALLY nu-sharded (GSPMD
+# auto-partitioning, entered via parallel.sharded_radiate); outside that
+# context the kernel must stay a plain pallas_call, because
+# custom_partitioning has no batching rule in jax 0.9 — routing through it
+# unconditionally on multi-device runtimes broke every vmapped flux path
+# (batched sweeps, vmapped FD Jacobians; round-5 review finding).
+_MARCH_PARTITIONED = _contextvars.ContextVar("march_partitioned", default=False)
+
+
+@_contextlib.contextmanager
+def march_gspmd():
+    """Trace scope in which march kernels lower via custom_partitioning
+    (shard-along-nu). Enter around jit traces whose operands are globally
+    sharded over a mesh; see parallel.sharded_radiate."""
+    tok = _MARCH_PARTITIONED.set(True)
+    try:
+        yield
+    finally:
+        _MARCH_PARTITIONED.reset(tok)
+
 
 @_contextlib.contextmanager
 def march_kernel_mode(mode: str):
@@ -417,23 +438,89 @@ def _cp_monoflux(nstream: int, thermal_only: bool, interpret: bool):
     return fn
 
 
+def _fold_rows(x, batched, nb):
+    """[Nb, R, N] (batched) or [R, N] -> [R, Nb*N] for the lane-fold rule."""
+    if batched:
+        R = x.shape[1]
+        return jnp.moveaxis(x, 0, 1).reshape(R, -1)
+    return jnp.tile(x, (1, nb))
+
+
+def _fold_spec(x, batched, nb):
+    """[Nb, N] or [N] -> [Nb*N]."""
+    return x.reshape(-1) if batched else jnp.tile(x, nb)
+
+
+@_lru_cache(maxsize=None)
+def _vm_monoflux(nstream: int, thermal_only: bool, interpret: bool):
+    """The march kernel under ``custom_vmap``: vmapped calls FOLD the batch
+    into the wavenumber axis (the march is purely per-lane, so concatenating
+    columns along nu is exact) and run ONE kernel over Nb*N lanes.
+
+    Without this, jax's generic pallas batching rule inserts the batch as a
+    squeezed block dimension wherever the trace left it — and a mid-array
+    batch dim (e.g. from a vmapped quadrature matmul, whose dot_general
+    leaves the batch at axis 1) violates the TPU lowering's last-two-dims
+    rule. Batched exoplanet sweeps crashed exactly this way (latent since
+    the kernel landed in round 4; the round-4 curve predated the kernel).
+    """
+    from jax.custom_batching import custom_vmap
+    from .march_pallas import monoflux_pallas
+
+    m, W = stream_nodes(nstream)
+
+    def call(tau, B, S_nu, albedo_nu, ctheta):
+        return monoflux_pallas(tau, B, S_nu, albedo_nu, ctheta, m, W,
+                               thermal_only=thermal_only, interpret=interpret)
+
+    fn = custom_vmap(call)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, tau, B, S_nu, albedo_nu, ctheta):
+        tb, Bb, Sb, ab, cb = in_batched
+        nb = axis_size
+        if cb:
+            # per-column stellar angles: fall back to a sequential map
+            # (rare; the batched-sweep paths share theta_s)
+            args = (
+                tau if tb else jnp.broadcast_to(tau, (nb,) + tau.shape),
+                B if Bb else jnp.broadcast_to(B, (nb,) + B.shape),
+                S_nu if Sb else jnp.broadcast_to(S_nu, (nb,) + S_nu.shape),
+                albedo_nu if ab
+                else jnp.broadcast_to(albedo_nu, (nb,) + albedo_nu.shape),
+                ctheta,
+            )
+            up, dn = jax.lax.map(lambda a: call(*a), args)
+            return (up, dn), (True, True)
+        N = tau.shape[-1]
+        up, dn = call(
+            _fold_rows(tau, tb, nb), _fold_rows(B, Bb, nb),
+            _fold_spec(S_nu, Sb, nb), _fold_spec(albedo_nu, ab, nb), ctheta,
+        )
+        unfold = lambda x: jnp.moveaxis(x.reshape(x.shape[0], nb, N), 1, 0)
+        return (unfold(up), unfold(dn)), (True, True)
+
+    return fn
+
+
 @_partial(jax.custom_jvp, nondiff_argnums=(5, 6))
 def _monoflux_kernel_path(tau, B, S_nu, albedo_nu, ctheta, nstream,
                           thermal_only):
-    from .march_pallas import monoflux_pallas, pack_mw
+    from .march_pallas import pack_mw
 
     interpret = _MARCH_MODE.get() == "interpret"
     m, W = stream_nodes(nstream)
-    if len(jax.devices()) > 1:
-        # multi-device runtime: route through the partitioning-aware wrapper
-        # so GSPMD programs (parallel.sharded_radiate, user jits over a
-        # mesh) can shard the kernel along nu instead of pinning the scan
+    if _MARCH_PARTITIONED.get():
+        # GSPMD trace scope (march_gspmd): operands are globally nu-sharded,
+        # so route through the partitioning-aware wrapper — each device runs
+        # the kernel on its local spectral slab
         mw = jnp.asarray(pack_mw(m, W), dtype=tau.dtype)
         return _cp_monoflux(nstream, thermal_only, interpret)(
             tau, B, S_nu, albedo_nu, ctheta, mw
         )
-    return monoflux_pallas(tau, B, S_nu, albedo_nu, ctheta, m, W,
-                           thermal_only=thermal_only, interpret=interpret)
+    return _vm_monoflux(nstream, thermal_only, interpret)(
+        tau, B, S_nu, albedo_nu, ctheta
+    )
 
 
 @_monoflux_kernel_path.defjvp
@@ -494,16 +581,41 @@ def _olr_scan(tau, B, nstream: int):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+@_lru_cache(maxsize=None)
+def _vm_olr(nstream: int, interpret: bool):
+    """TOA-only kernel under the same lane-fold custom_vmap rule as
+    :func:`_vm_monoflux`."""
+    from jax.custom_batching import custom_vmap
+    from .march_pallas import olr_pallas
+
+    m, W = stream_nodes(nstream)
+
+    def call(tau, B):
+        return olr_pallas(tau, B, m, W, interpret=interpret)
+
+    fn = custom_vmap(call)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, tau, B):
+        tb, Bb = in_batched
+        nb = axis_size
+        N = tau.shape[-1]
+        out = call(_fold_rows(tau, tb, nb), _fold_rows(B, Bb, nb))
+        return out.reshape(nb, N), True
+
+    return fn
+
+
 @_partial(jax.custom_jvp, nondiff_argnums=(2,))
 def _olr_kernel_path(tau, B, nstream):
-    from .march_pallas import olr_pallas, pack_mw
+    from .march_pallas import pack_mw
 
     interpret = _MARCH_MODE.get() == "interpret"
     m, W = stream_nodes(nstream)
-    if len(jax.devices()) > 1:
+    if _MARCH_PARTITIONED.get():
         mw = jnp.asarray(pack_mw(m, W), dtype=tau.dtype)
         return _cp_olr(nstream, interpret)(tau, B, mw)
-    return olr_pallas(tau, B, m, W, interpret=interpret)
+    return _vm_olr(nstream, interpret)(tau, B)
 
 
 @_olr_kernel_path.defjvp

@@ -81,12 +81,6 @@ def _trans_emit(tm):
     return 1.0 - omt, omt, ratio
 
 
-def _one_minus_exp_neg(tm):
-    """(-expm1(-tm), exp-equivalent transmittance) without the expm1
-    primitive, which Mosaic does not lower. See :func:`_trans_emit` for the
-    accuracy notes; XLA dead-code-eliminates the unused ratio here."""
-    t, omt, _ = _trans_emit(tm)
-    return omt, t
 
 
 def _layer_planck(b1, b2, t, omt, ratio):

@@ -84,6 +84,11 @@ def blocks_of(path):
 
 
 def main(paths):
+    if not os.path.isdir(FIXTURES):
+        # CI runners without the reference checkout skip gracefully
+        # (mirrors tests/conftest.py's fixtures_dir skip)
+        print(f"skip: fixtures not available at {FIXTURES}")
+        return 0
     paths = paths or sorted(glob.glob(os.path.join(ROOT, "docs", "*.md")))
     failures = 0
     with tempfile.TemporaryDirectory() as td:

@@ -272,7 +272,11 @@ def test_coarse_far_nonuniform_grid(co2_full):
 
     rng = np.random.default_rng(3)
     nu = np.linspace(2300.0, 2350.0, 16384)
-    nu = nu + rng.uniform(-0.2, 0.2, nu.shape) * (nu[1] - nu[0])
+    # random-WALK spacing drift: bounded per-interval jitter but cumulative
+    # lattice deviation of many coarse cells, the class the round-5
+    # uniformity criterion must reject (point-local jitter without drift is
+    # legitimately near-lattice and takes the strided path instead)
+    nu = nu + np.cumsum(rng.uniform(-0.2, 0.2, nu.shape)) * (nu[1] - nu[0])
     nu.sort()
     plan = build_line_window_plan(nu, np.asarray(co2_full.nu), 25.0, block=128)
     params = _coarse_far_params(plan)
@@ -608,3 +612,30 @@ def test_coarse_strided_on_f32_quantized_grid(co2_full):
     N_col = 1e4 / pk
     dtr = np.exp(-N_col * out) - np.exp(-N_col * ref)
     assert np.abs(dtr.mean(axis=1)).max() < 1e-5
+
+
+def test_coarse_chirped_grid_rejects_strided_path(co2_full):
+    """Round-5 review regression: a two-segment grid whose per-interval
+    jitter is small but whose CUMULATIVE lattice deviation spans many
+    coarse cells must NOT take the strided interpolation path (it silently
+    produced 1.8e-2-class sigma errors); it falls to the exact gather
+    stencil and stays inside the documented accuracy class."""
+    from clearsky_tpu.ops.linesum_pallas import _coarse_far_params
+
+    a = np.linspace(2300.0, 2325.0, 8192, endpoint=False)
+    b = np.linspace(2325.0, 2351.0, 8192)  # ~4% larger spacing
+    nu = np.concatenate([a, b])
+    plan = build_line_window_plan(nu, np.asarray(co2_full.nu), 25.0, block=128)
+    p = _coarse_far_params(plan)
+    if p is not None:
+        assert p[3] < 2, "chirped grid must not be treated as uniform"
+        T = jnp.asarray([220.0, 290.0])
+        P = jnp.asarray([1e3, 1e5])
+        ref = np.asarray(sigma_from_lines(plan, co2_full, T, P, 0.5 * P, "voigt"))
+        out = np.asarray(sigma_from_lines_pallas(
+            plan, co2_full, T, P, 0.5 * P, "voigt", interpret=True,
+            strategy="coarse"))
+        pk = np.abs(ref).max(axis=1, keepdims=True)
+        m = np.abs(ref) > 1e-3 * pk
+        rel = np.abs(out - ref) / np.maximum(np.abs(ref), 1e-300)
+        assert rel[m].max() < 2e-3, rel[m].max()

@@ -141,3 +141,62 @@ def test_olr_kernel_path_jvp_rides_scan(monkeypatch):
     g_o = jax.grad(lambda t: disc._olr_scan(t, B, 5).sum())(tau)
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_o),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_vmapped_flux_paths_survive_kernel_routing(monkeypatch):
+    """Round-5 review regression: custom_partitioning has no batching rule,
+    so the kernel path must stay a plain pallas_call outside the explicit
+    GSPMD scope — vmapped flux calls (batched sweeps, vmapped FD Jacobians)
+    on a multi-device runtime must not crash."""
+    from clearsky_tpu.rt import march_pallas as mp
+
+    tau, B, S, a = _column(L=5, N=256)
+    taub = jnp.stack([tau, tau * 1.1])
+    Bb = jnp.stack([B, B])
+    for orig_name in ("monoflux_pallas", "olr_pallas"):
+        orig = getattr(mp, orig_name)
+        monkeypatch.setattr(
+            mp, orig_name,
+            lambda *args, _o=orig, **kw: _o(*args, **{**kw, "interpret": True}),
+        )
+    assert len(jax.devices()) > 1  # the suite runs on 8 virtual devices
+    with disc.march_kernel_mode("interpret"):
+        out = jax.vmap(lambda t, b: disc.outgoing_flux(t, b, 5))(taub, Bb)
+        up, dn = jax.vmap(
+            lambda t, b: disc.monoflux(t, b, None, S, a, 0.841, 5)
+        )(taub, Bb)
+    ref = jax.vmap(lambda t, b: disc._olr_scan(t, b, 5))(taub, Bb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_vmapped_kernel_folds_batch_and_matches(monkeypatch):
+    """The custom_vmap lane-fold rule: vmapped kernel marches (any batch-dim
+    placement, including the mid-axis position a vmapped quadrature matmul
+    produces) must execute ONE folded kernel call and match the scan."""
+    tau, B, S, a = _column(L=5, N=256)
+    taub = jnp.stack([tau, tau * 1.3])
+    Bb = jnp.stack([B, B * 1.1])
+    with disc.march_kernel_mode("interpret"):
+        # axis-0 batch
+        up0, dn0 = jax.vmap(
+            lambda t, b: disc.monoflux(t, b, None, S, a, 0.841, 5)
+        )(taub, Bb)
+        # mid-axis batch (the failing sweep layout): in_axes=1
+        up1, dn1 = jax.vmap(
+            lambda t, b: disc.monoflux(t, b, None, S, a, 0.841, 5),
+            in_axes=(1, 1),
+        )(jnp.moveaxis(taub, 0, 1), jnp.moveaxis(Bb, 0, 1))
+        olr = jax.vmap(lambda t, b: disc.outgoing_flux(t, b, 5))(taub, Bb)
+    ct = jnp.cos(jnp.asarray(0.841, tau.dtype))
+    for i in range(2):
+        upr, dnr = disc._monoflux_scan(taub[i], Bb[i], S, a, ct, 5)
+        np.testing.assert_allclose(np.asarray(up0[i]), np.asarray(upr),
+                                   rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(up1[i]), np.asarray(upr),
+                                   rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(dn0[i]), np.asarray(dnr),
+                                   rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(olr[i]), np.asarray(disc._olr_scan(taub[i], Bb[i], 5)),
+            rtol=1e-11, atol=1e-13)
