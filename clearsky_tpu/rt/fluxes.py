@@ -382,6 +382,19 @@ def monochromatic_fluxes(
         return M_up, M_down, tau
 
     Pg = jnp.asarray(P)
+    if _fused_table_ok(A, Pg.shape[0] - 1, core.nstream):
+        # round-5 fast path: single split-precision table gas through the
+        # fused coefficients->tau->both-marches kernel (rt.fused_table)
+        from ..absorption.absorbers import AbsorberStack
+        from .discretized import _MARCH_MODE
+        from .fused_table import table_monoflux_fused
+
+        gas = A.gases[0] if isinstance(A, AbsorberStack) else A
+        return table_monoflux_fused(
+            gas, Pg, g, fT, fmu, S_nu, a_nu, theta_s,
+            core.nlobatto, core.nstream,
+            interpret=_MARCH_MODE.get() == "interpret",
+        )
     tau = _column_tau(Pg, g, fT, fmu, A, core.nlobatto)
     B = _planck_levels(Pg, A.nu, fT)
     M_up, M_down = monoflux(tau, B, A.nu, S_nu, a_nu, theta_s, core.nstream)
