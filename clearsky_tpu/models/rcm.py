@@ -283,7 +283,16 @@ def heating(rcm: RCM, T=None, A: AcceleratedAbsorber | None = None, spectral_sum
 
 
 def radiate_state(rcm: RCM) -> FluxPack:
-    """FluxPack on the refined radiative grid for the current state."""
+    """FluxPack on the refined radiative grid for the current state.
+
+    To jit this over a GSPMD mesh with globally nu-sharded operands, enter
+    ``rt.discretized.march_gspmd()`` around the trace (as
+    ``parallel.sharded_radiate`` does) so the march kernel lowers through
+    its shard-along-nu partitioning rule; outside that scope the kernel is
+    a plain pallas_call, which XLA cannot partition. shard_map programs
+    (``parallel.make_sharded_heating/step``) need no scope — their
+    operands are shard-local.
+    """
     return _flux_on_radiative_grid(rcm, rcm.T, rcm.A)
 
 
