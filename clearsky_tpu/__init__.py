@@ -99,7 +99,12 @@ from .atmosphere.saturation import (
     haircut,
     rayleigh_co2,
 )
-from .rt.discretized import FluxPack
+from .rt.discretized import FluxPack, march_kernel_mode, march_gspmd
+from .rt.fused_table import (
+    table_olr_fused,
+    table_monoflux_fused,
+    fused_table_applicable,
+)
 from .rt.fluxes import (
     Discretized,
     Radau,
